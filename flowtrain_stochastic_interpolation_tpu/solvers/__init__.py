@@ -1,0 +1,326 @@
+"""Samplers: compiled ODE/SDE integrators for learned velocity/denoiser fields.
+
+TPU-native rebuild of the reference solver layer
+(``/root/reference/src/flowtrain/solvers/solvers.py``).  The reference wraps
+``torchdiffeq.odeint`` (adaptive dopri5 with a host-side callback per stage,
+``solvers.py:77``); on TPU that pattern serialises a device→host sync per
+function evaluation.  Here every sampler is a single compiled program:
+
+* :func:`solve_ode` — fixed-NFE Euler / Heun / RK4 under ``lax.scan``
+  (NFE is explicit; the driver metric is samples/min at fixed NFE).
+* :func:`solve_ode_adaptive` — jittable dopri5 with a PI controller for
+  parity with the reference's adaptive sampler (``solvers.py:14-77``).
+* :func:`solve_denoising_ode` — one-sided denoiser ODE, eq (6.7) of
+  arXiv:2303.08797 (reference ``solvers.py:80-148``).
+* :func:`solve_denoising_sde` — Euler–Maruyama SDE sampler with
+  ``eps(t)``-scaled score term (reference ``solvers.py:153-222``; the
+  reference version is flagged unfinished at ``:151-152`` — this one applies
+  the Brownian increment with the correct sqrt(dt) scaling).
+
+All solvers accept ``frozen_mask`` (True ⇒ dx/dt = 0) for inpainting, as in
+reference ``solvers.py:71-73``, and return the trajectory sampled on a linear
+``n_frames`` grid ``[n_frames, *x0.shape]`` matching the reference's output
+convention (frame 0 is ``x0``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from flowtrain_stochastic_interpolation_tpu.interpolants import Interpolant
+from flowtrain_stochastic_interpolation_tpu.solvers.dopri5 import dopri5_integrate
+
+VelocityFn = Callable[[Array, Array], Array]  # (x [B,...], t [B]) -> dx/dt
+
+
+def _batch_time(x: Array, t: Array) -> Array:
+    """Expand scalar time to a per-sample [B] vector (model API takes [B])."""
+    return jnp.full((x.shape[0],), t, dtype=x.dtype)
+
+
+def _masked(dxdt: Array, frozen_mask: Optional[Array]) -> Array:
+    if frozen_mask is None:
+        return dxdt
+    return jnp.where(frozen_mask, jnp.zeros_like(dxdt), dxdt)
+
+
+def _euler_step(f: VelocityFn, x: Array, t: Array, h: Array) -> Array:
+    return x + h * f(x, _batch_time(x, t))
+
+
+def _heun_step(f: VelocityFn, x: Array, t: Array, h: Array) -> Array:
+    k1 = f(x, _batch_time(x, t))
+    k2 = f(x + h * k1, _batch_time(x, t + h))
+    return x + h / 2.0 * (k1 + k2)
+
+
+def _midpoint_step(f: VelocityFn, x: Array, t: Array, h: Array) -> Array:
+    k1 = f(x, _batch_time(x, t))
+    k2 = f(x + h / 2.0 * k1, _batch_time(x, t + h / 2.0))
+    return x + h * k2
+
+
+def _rk4_step(f: VelocityFn, x: Array, t: Array, h: Array) -> Array:
+    # Classic RK4, matching the reference's odeSol_RK4 (solvers.py:225-245).
+    k1 = f(x, _batch_time(x, t))
+    k2 = f(x + h * k1 / 2.0, _batch_time(x, t + h / 2.0))
+    k3 = f(x + h * k2 / 2.0, _batch_time(x, t + h / 2.0))
+    k4 = f(x + h * k3, _batch_time(x, t + h))
+    return x + h / 6.0 * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+
+_STEPPERS = {
+    "euler": (_euler_step, 1),
+    "heun": (_heun_step, 2),
+    "midpoint": (_midpoint_step, 2),
+    "rk4": (_rk4_step, 4),
+}
+
+
+def solve_ode(
+    velocity_fn: VelocityFn,
+    x0: Array,
+    *,
+    t0: float = 0.0,
+    tf: float = 1.0,
+    n_frames: int = 16,
+    substeps: int = 1,
+    method: str = "rk4",
+    frozen_mask: Optional[Array] = None,
+) -> Array:
+    """Integrate ``dx/dt = velocity_fn(x, t)`` on a fixed grid with lax.scan.
+
+    Args:
+      velocity_fn: learned field ``(x [B,...], t [B]) -> dx/dt``.
+      x0: initial state ``[B, ...]``.
+      t0, tf: integration interval (reference uses t0=0.001, tf=1.0 for the
+        unconditional app, ``model_train_inference.py:617-619``).
+      n_frames: number of saved trajectory frames (reference ``n_steps``).
+      substeps: integrator steps per saved frame interval; total NFE =
+        ``(n_frames-1) * substeps * stages(method)``.
+      method: one of euler | heun | midpoint | rk4.
+      frozen_mask: optional bool mask (broadcastable to x) freezing dx/dt.
+
+    Returns:
+      Trajectory ``[n_frames, B, ...]`` with frame 0 == x0.
+    """
+    if method not in _STEPPERS:
+        raise ValueError(f"unknown method {method!r}; options: {sorted(_STEPPERS)}")
+    stepper, _ = _STEPPERS[method]
+    f = lambda x, t: _masked(velocity_fn(x, t), frozen_mask)
+
+    dtype = x0.dtype
+    frame_ts = jnp.linspace(t0, tf, n_frames, dtype=dtype)
+    h = (frame_ts[1] - frame_ts[0]) / substeps if n_frames > 1 else jnp.asarray(0.0, dtype)
+
+    def frame_step(x, t_start):
+        def sub(i, x):
+            return stepper(f, x, t_start + i * h, h)
+
+        x = jax.lax.fori_loop(0, substeps, sub, x)
+        return x, x
+
+    _, frames = jax.lax.scan(frame_step, x0, frame_ts[:-1])
+    return jnp.concatenate([x0[None], frames], axis=0)
+
+
+def solve_ode_adaptive(
+    velocity_fn: VelocityFn,
+    x0: Array,
+    *,
+    t0: float = 0.0,
+    tf: float = 1.0,
+    n_frames: int = 16,
+    atol: float = 1e-6,
+    rtol: float = 1e-6,
+    frozen_mask: Optional[Array] = None,
+    max_steps: int = 4096,
+):
+    """Adaptive dopri5 on a save grid — parity with ``ODEFlowSolver.solve``.
+
+    Reference: ``solvers.py:14-77`` (torchdiffeq dopri5, atol/rtol 1e-6).
+    Fully jittable (``lax.while_loop`` inside ``lax.scan`` over segments).
+
+    Returns:
+      ``(trajectory [n_frames, B, ...], nfe [int32])``.
+    """
+    f = lambda x, t: _masked(velocity_fn(x, _batch_time(x, t)), frozen_mask)
+    ts = jnp.linspace(t0, tf, n_frames, dtype=x0.dtype)
+    return dopri5_integrate(f, x0, ts, atol=atol, rtol=rtol, max_steps=max_steps)
+
+
+def denoiser_to_velocity(
+    denoiser_fn: VelocityFn, interpolant: Interpolant
+) -> VelocityFn:
+    """Convert a learned one-sided denoiser ``eta(x,t)`` into a velocity field.
+
+    Eq (6.7) of arXiv:2303.08797:
+    ``dx/dt = alpha_dot*eta + (beta_dot/beta) * (x - alpha*eta)``
+    (reference ``solvers.py:131-144``).
+    """
+    if not interpolant.one_sided:
+        raise ValueError("denoising solvers require a one-sided interpolant")
+
+    def velocity(x: Array, t: Array) -> Array:
+        eta = denoiser_fn(x, t)
+        tb = t.reshape(t.shape[0], *([1] * (x.ndim - 1)))
+        a, b = interpolant.alpha(tb), interpolant.beta(tb)
+        a_dot, b_dot = interpolant.alpha_dot(tb), interpolant.beta_dot(tb)
+        return a_dot * eta + (b_dot / b) * (x - a * eta)
+
+    return velocity
+
+
+def solve_denoising_ode(
+    denoiser_fn: VelocityFn,
+    interpolant: Interpolant,
+    x0: Array,
+    *,
+    t0: float = 0.0,
+    tf: float = 1.0,
+    n_frames: int = 32,
+    substeps: int = 2,
+    method: str = "rk4",
+    adaptive: bool = False,
+    atol: float = 1e-6,
+    rtol: float = 1e-6,
+):
+    """One-sided denoising ODE sampler (reference ``ODEOneSidedDenoisingSolver``)."""
+    velocity = denoiser_to_velocity(denoiser_fn, interpolant)
+    if adaptive:
+        return solve_ode_adaptive(
+            velocity, x0, t0=t0, tf=tf, n_frames=n_frames, atol=atol, rtol=rtol
+        )
+    return solve_ode(
+        velocity, x0, t0=t0, tf=tf, n_frames=n_frames, substeps=substeps, method=method
+    )
+
+
+def solve_denoising_sde(
+    denoiser_fn: VelocityFn,
+    interpolant: Interpolant,
+    x0: Array,
+    key: Array,
+    *,
+    epsilon=1.0,
+    t0: float = 0.0,
+    tf: float = 1.0,
+    n_frames: int = 32,
+    substeps: int = 2,
+) -> Array:
+    """Euler–Maruyama SDE sampler from a one-sided denoiser.
+
+    Drift is the eq-(6.7) velocity plus ``eps(t) * score`` with score
+    ``-eta/alpha`` (reference ``solvers.py:193-216``); diffusion is
+    ``sqrt(2*eps(t)) dW`` applied with the correct ``sqrt(dt)`` scaling
+    (the reference integrates the noise as part of the drift under an
+    adaptive solver and flags the scheme unfinished at ``solvers.py:151``).
+
+    ``epsilon`` may be a float or a callable ``t -> eps`` (reference
+    ``solvers.py:171-175``).
+    """
+    if not interpolant.one_sided:
+        raise ValueError("denoising solvers require a one-sided interpolant")
+    eps_fn = epsilon if callable(epsilon) else (lambda t: epsilon)
+    velocity = denoiser_to_velocity(denoiser_fn, interpolant)
+
+    dtype = x0.dtype
+    frame_ts = jnp.linspace(t0, tf, n_frames, dtype=dtype)
+    h = (frame_ts[1] - frame_ts[0]) / substeps if n_frames > 1 else jnp.asarray(0.0, dtype)
+    sqrt_h = jnp.sqrt(jnp.abs(h))
+
+    def drift(x, t):
+        tv = _batch_time(x, t)
+        eta = denoiser_fn(x, tv)
+        tb = tv.reshape(tv.shape[0], *([1] * (x.ndim - 1)))
+        a, b = interpolant.alpha(tb), interpolant.beta(tb)
+        a_dot, b_dot = interpolant.alpha_dot(tb), interpolant.beta_dot(tb)
+        v = a_dot * eta + (b_dot / b) * (x - a * eta)
+        score = -eta / a
+        return v + eps_fn(t) * score
+
+    def frame_step(carry, t_start):
+        x, k = carry
+
+        def sub(i, carry):
+            x, k = carry
+            k, sub_k = jax.random.split(k)
+            t = t_start + i * h
+            noise = jax.random.normal(sub_k, x.shape, dtype)
+            diffusion = jnp.sqrt(2.0 * jnp.maximum(eps_fn(t), 0.0))
+            x = x + h * drift(x, t) + sqrt_h * diffusion * noise
+            return (x, k)
+
+        x, k = jax.lax.fori_loop(0, substeps, sub, (x, k))
+        return (x, k), x
+
+    (_, _), frames = jax.lax.scan(frame_step, (x0, key), frame_ts[:-1])
+    return jnp.concatenate([x0[None], frames], axis=0)
+
+
+def ode_sol_rk4(x0: Array, velocity_fn: VelocityFn, nsteps: int = 100, tf: float = 1.0) -> Array:
+    """Fixed-step RK4 returning the full ``[nsteps, ...]`` trajectory.
+
+    API-parity helper for the reference's ``odeSol_RK4`` (``solvers.py:225-245``):
+    same step count convention (``nsteps`` frames, ``nsteps-1`` RK4 steps from
+    t=0 with h = tf/nsteps).
+    """
+    h = tf / nsteps
+    f = velocity_fn
+
+    def step(carry, _):
+        x, t = carry
+        x = _rk4_step(f, x, t, jnp.asarray(h, x0.dtype))
+        return (x, t + h), x
+
+    (_, _), frames = jax.lax.scan(step, (x0, jnp.asarray(0.0, x0.dtype)), None, length=nsteps - 1)
+    return jnp.concatenate([x0[None], frames], axis=0)
+
+
+class ODEFlowSolver:
+    """API-familiarity wrapper over :func:`solve_ode` / :func:`solve_ode_adaptive`.
+
+    Mirrors reference ``ODEFlowSolver`` (``solvers.py:14-77``): construct with a
+    model, call ``solve(X0, frozen_mask, t0, tf, n_steps)``.  ``adaptive=True``
+    reproduces the reference's dopri5 behaviour; the default is the fixed-NFE
+    compiled path (method/substeps chosen for categorical-decode equivalence —
+    see tests/test_solvers.py).
+    """
+
+    def __init__(self, model: VelocityFn, atol: float = 1e-6, rtol: float = 1e-6,
+                 adaptive: bool = False, method: str = "rk4", substeps: int = 2):
+        self.model = model
+        self.atol = atol
+        self.rtol = rtol
+        self.adaptive = adaptive
+        self.method = method
+        self.substeps = substeps
+
+    def solve(self, x0, frozen_mask=None, t0=0.0, tf=1.0, n_steps=32):
+        if self.adaptive:
+            traj, _ = solve_ode_adaptive(
+                self.model, x0, t0=t0, tf=tf, n_frames=n_steps,
+                atol=self.atol, rtol=self.rtol, frozen_mask=frozen_mask,
+            )
+            return traj
+        return solve_ode(
+            self.model, x0, t0=t0, tf=tf, n_frames=n_steps,
+            substeps=self.substeps, method=self.method, frozen_mask=frozen_mask,
+        )
+
+
+__all__ = [
+    "solve_ode",
+    "solve_ode_adaptive",
+    "solve_denoising_ode",
+    "solve_denoising_sde",
+    "denoiser_to_velocity",
+    "ode_sol_rk4",
+    "ODEFlowSolver",
+    "dopri5_integrate",
+]

@@ -1,0 +1,26 @@
+"""Test harness: run every test on a virtual 8-device CPU mesh.
+
+Multi-chip behaviour is validated without TPU hardware by forcing the host
+platform to expose 8 XLA CPU devices (the JAX-native answer to multi-node
+testing — SURVEY.md §4).  Must run before the first ``import jax``.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices():
+    return jax.devices()

@@ -1,0 +1,156 @@
+"""Numeric golden tests for interpolant schedules and objectives.
+
+The reference validates schedules by eyeballing plots against
+``tests/paper-vals.png`` (``/root/reference/tests/test-intepolators.py:6-9``);
+here the same curves are checked against closed forms and finite differences.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowtrain_stochastic_interpolation_tpu.interpolants import (
+    EncDecInterpolant,
+    LinearInterpolant,
+    MirrorInterpolant,
+    SBDMInterpolant,
+    StochasticInterpolator,
+    TrigInterpolant,
+)
+
+ALL = [
+    LinearInterpolant(),
+    LinearInterpolant(one_sided=True),
+    TrigInterpolant(),
+    TrigInterpolant(one_sided=True),
+    EncDecInterpolant(),
+    SBDMInterpolant(),
+    MirrorInterpolant(),
+]
+
+TS = jnp.linspace(0.05, 0.95, 19)
+
+
+@pytest.mark.parametrize("interp", ALL, ids=lambda i: f"{type(i).__name__}_os{i.one_sided}")
+def test_derivatives_match_finite_differences(interp):
+    eps = 1e-4
+    for name in ["alpha", "beta", "gamma"]:
+        fn = getattr(interp, name)
+        dot = getattr(interp, f"{name}_dot")
+        num = (fn(TS + eps) - fn(TS - eps)) / (2 * eps)
+        if type(interp) is EncDecInterpolant:
+            # piecewise split at t=0.5: skip points adjacent to the kink
+            keep = jnp.abs(TS - 0.5) > 2 * eps
+            np.testing.assert_allclose(
+                np.asarray(dot(TS))[keep], np.asarray(num)[keep], atol=1e-2
+            )
+        else:
+            np.testing.assert_allclose(np.asarray(dot(TS)), np.asarray(num), atol=1e-2)
+
+
+def test_linear_golden_values():
+    it = LinearInterpolant()
+    t = jnp.array([0.25])
+    np.testing.assert_allclose(it.alpha(t), [0.75])
+    np.testing.assert_allclose(it.beta(t), [0.25])
+    np.testing.assert_allclose(it.gamma(t), [np.sqrt(2.0 * 0.25 * 0.75)], rtol=1e-6)
+    np.testing.assert_allclose(it.alpha_dot(t), [-1.0])
+    np.testing.assert_allclose(it.beta_dot(t), [1.0])
+    # gamma_dot = 0.5*a*(1-2t)/sqrt(a t (1-t))
+    np.testing.assert_allclose(
+        it.gamma_dot(t), [0.5 * 2.0 * 0.5 / np.sqrt(2.0 * 0.25 * 0.75)], rtol=1e-6
+    )
+
+
+def test_trig_and_sbdm_golden_values():
+    tr = TrigInterpolant()
+    t = jnp.array([0.5])
+    np.testing.assert_allclose(tr.alpha(t), [np.cos(np.pi / 4)], rtol=1e-6)
+    np.testing.assert_allclose(tr.beta(t), [np.sin(np.pi / 4)], rtol=1e-6)
+    sb = SBDMInterpolant()
+    assert sb.one_sided
+    np.testing.assert_allclose(sb.alpha(t), [np.sqrt(0.75)], rtol=1e-6)
+    np.testing.assert_allclose(sb.alpha_dot(t), [-0.5 / np.sqrt(0.75)], rtol=1e-6)
+
+
+def test_encdec_split():
+    it = EncDecInterpolant()
+    t = jnp.array([0.25, 0.75])
+    np.testing.assert_allclose(it.alpha(t), [np.cos(np.pi * 0.25) ** 2, 0.0], atol=1e-7)
+    np.testing.assert_allclose(it.beta(t), [0.0, np.cos(np.pi * 0.75) ** 2], atol=1e-7)
+    np.testing.assert_allclose(it.gamma(t), np.sin(np.pi * np.array([0.25, 0.75])) ** 2, rtol=1e-6)
+
+
+def test_mirror_is_identity_plus_noise():
+    it = MirrorInterpolant()
+    k0, k1, kz = jax.random.split(jax.random.PRNGKey(0), 3)
+    x0 = jax.random.normal(k0, (4, 8))
+    x1 = jax.random.normal(k1, (4, 8))
+    z = jax.random.normal(kz, (4, 8))
+    t = jnp.full((4,), 0.3)
+    xt = it.get_xt(t, x0, x1, z)
+    np.testing.assert_allclose(
+        np.asarray(xt), np.asarray(x1 + np.sqrt(2 * 0.3 * 0.7) * z), rtol=1e-5
+    )
+
+
+def test_flow_objective_endpoints_and_shape():
+    it = LinearInterpolant(one_sided=True)
+    key = jax.random.PRNGKey(1)
+    x0 = jax.random.normal(key, (3, 4, 4, 4, 2))
+    x1 = jnp.ones_like(x0)
+    t = jnp.array([0.0, 0.5, 1.0])
+    xt, bt = it.flow_objective(t, x0, x1)
+    assert xt.shape == x0.shape and bt.shape == x0.shape
+    np.testing.assert_allclose(np.asarray(xt[0]), np.asarray(x0[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(xt[2]), np.asarray(x1[2]), atol=1e-6)
+    # velocity of the linear interpolant is X1 - X0 everywhere
+    np.testing.assert_allclose(np.asarray(bt), np.asarray(x1 - x0), rtol=1e-5)
+
+
+def test_two_sided_requires_z():
+    it = LinearInterpolant()
+    x = jnp.zeros((2, 3))
+    with pytest.raises(ValueError):
+        it.flow_objective(jnp.array([0.5, 0.5]), x, x)
+
+
+def test_denoising_objective_one_sided_targets_x0():
+    it = LinearInterpolant(one_sided=True)
+    key = jax.random.PRNGKey(2)
+    x0 = jax.random.normal(key, (2, 5))
+    x1 = jnp.ones_like(x0)
+    xt, target = it.denoising_objective(jnp.array([0.3, 0.7]), x0, x1)
+    np.testing.assert_allclose(np.asarray(target), np.asarray(x0))
+
+
+def test_score_velocity_identity():
+    """BT == get_BT_from_score(VT, ST) for two-sided interpolants."""
+    it = LinearInterpolant()
+    k0, k1, kz = jax.random.split(jax.random.PRNGKey(3), 3)
+    x0 = jax.random.normal(k0, (4, 6))
+    x1 = jax.random.normal(k1, (4, 6))
+    z = jax.random.normal(kz, (4, 6))
+    t = jnp.array([0.2, 0.4, 0.6, 0.8])
+    bt = it.get_bt(t, x0, x1, z)
+    vt = it.get_vt(t, x0, x1)
+    st = it.get_st(t, z)
+    np.testing.assert_allclose(
+        np.asarray(it.get_bt_from_score(t, vt, st)), np.asarray(bt), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_wrapper_api_and_jittability():
+    si = StochasticInterpolator(LinearInterpolant(one_sided=True))
+    x0 = jnp.ones((2, 3))
+    x1 = jnp.zeros((2, 3))
+    t = jnp.array([0.25, 0.75])
+
+    @jax.jit
+    def f(t, x0, x1):
+        return si.flow_objective(t, x0, x1)
+
+    xt, bt = f(t, x0, x1)
+    np.testing.assert_allclose(np.asarray(xt[0]), 0.75 * np.ones((3,)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(bt), -np.ones((2, 3)), rtol=1e-6)

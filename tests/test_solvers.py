@@ -1,0 +1,146 @@
+"""Solver tests: convergence order, adaptive accuracy, masks, SDE sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowtrain_stochastic_interpolation_tpu.interpolants import LinearInterpolant
+from flowtrain_stochastic_interpolation_tpu.solvers import (
+    ODEFlowSolver,
+    ode_sol_rk4,
+    solve_denoising_ode,
+    solve_denoising_sde,
+    solve_ode,
+    solve_ode_adaptive,
+)
+
+
+def linear_field(x, t):
+    """dx/dt = -x  =>  x(t) = x0 * exp(-t)."""
+    del t
+    return -x
+
+
+def cosine_field(x, t):
+    """dx/dt = cos(2 pi t) * ones  =>  x(t) = x0 + sin(2 pi t)/(2 pi)."""
+    tb = t.reshape(t.shape[0], *([1] * (x.ndim - 1)))
+    return jnp.cos(2 * jnp.pi * tb) * jnp.ones_like(x)
+
+
+def exact_exp(x0, t):
+    return x0 * np.exp(-t)
+
+
+@pytest.mark.parametrize(
+    "method,order,substeps_pair",
+    [("euler", 1, (8, 16)), ("heun", 2, (4, 8)), ("midpoint", 2, (4, 8)), ("rk4", 4, (1, 2))],
+)
+def test_convergence_order(method, order, substeps_pair):
+    # step counts chosen so float32 roundoff stays well below truncation error
+    x0 = jnp.ones((1, 4))
+    errs = []
+    for substeps in substeps_pair:
+        traj = solve_ode(
+            linear_field, x0, t0=0.0, tf=1.0, n_frames=2, substeps=substeps, method=method
+        )
+        errs.append(float(jnp.abs(traj[-1] - exact_exp(1.0, 1.0)).max()))
+    observed = np.log2(errs[0] / errs[1])
+    assert observed > order - 0.4, f"{method}: observed order {observed:.2f} < {order}"
+
+
+def test_trajectory_frames_match_exact_solution():
+    x0 = jnp.full((2, 3), 2.0)
+    traj = solve_ode(linear_field, x0, t0=0.0, tf=1.0, n_frames=9, substeps=8, method="rk4")
+    ts = np.linspace(0, 1, 9)
+    for i, t in enumerate(ts):
+        np.testing.assert_allclose(np.asarray(traj[i]), exact_exp(2.0, t), rtol=1e-5)
+
+
+def test_adaptive_dopri5_accuracy_and_nfe():
+    x0 = jnp.ones((1, 8))
+    traj, nfe = solve_ode_adaptive(
+        linear_field, x0, t0=0.0, tf=1.0, n_frames=16, atol=1e-6, rtol=1e-6
+    )
+    ts = np.linspace(0, 1, 16)
+    np.testing.assert_allclose(
+        np.asarray(traj)[:, 0, 0], exact_exp(1.0, ts), rtol=1e-5, atol=1e-7
+    )
+    assert int(nfe) < 2000
+
+
+def test_adaptive_nonautonomous():
+    x0 = jnp.zeros((1, 2))
+    traj, _ = solve_ode_adaptive(cosine_field, x0, t0=0.0, tf=0.75, n_frames=4)
+    exact = np.sin(2 * np.pi * 0.75) / (2 * np.pi)
+    np.testing.assert_allclose(np.asarray(traj[-1]), exact, atol=1e-5)
+
+
+def test_frozen_mask_freezes_entries():
+    x0 = jnp.ones((1, 4))
+    mask = jnp.array([[True, False, True, False]])
+    traj = solve_ode(linear_field, x0, n_frames=5, substeps=4, frozen_mask=mask)
+    final = np.asarray(traj[-1][0])
+    np.testing.assert_allclose(final[[0, 2]], 1.0)  # frozen
+    np.testing.assert_allclose(final[[1, 3]], np.exp(-1.0), rtol=1e-4)
+    traj_a, _ = solve_ode_adaptive(linear_field, x0, n_frames=5, frozen_mask=mask)
+    np.testing.assert_allclose(np.asarray(traj_a[-1][0])[[0, 2]], 1.0)
+
+
+def test_ode_sol_rk4_matches_reference_convention():
+    x0 = jnp.ones((2, 3))
+    traj = ode_sol_rk4(x0, linear_field, nsteps=100, tf=1.0)
+    assert traj.shape == (100, 2, 3)
+    # reference takes nsteps-1 steps of h=Tf/nsteps => reaches t = (n-1)/n
+    np.testing.assert_allclose(np.asarray(traj[-1]), exact_exp(1.0, 0.99), rtol=1e-5)
+
+
+def test_denoising_ode_recovers_gaussian_mean_shift():
+    """With rho1 = delta(mu), the perfect denoiser is eta(x,t) = (x - beta*mu)/alpha.
+
+    The eq-(6.7) velocity then transports any x0 exactly onto mu at t=1.
+    """
+    mu = 3.0
+    interp = LinearInterpolant(one_sided=True)
+
+    def denoiser(x, t):
+        tb = t.reshape(t.shape[0], *([1] * (x.ndim - 1)))
+        return (x - interp.beta(tb) * mu) / interp.alpha(tb)
+
+    x0 = jnp.array([[1.0, -2.0, 0.5]])
+    traj = solve_denoising_ode(
+        denoiser, interp, x0, t0=1e-3, tf=1 - 1e-3, n_frames=8, substeps=8, method="rk4"
+    )
+    np.testing.assert_allclose(np.asarray(traj[-1]), mu, atol=5e-3)
+
+
+def test_denoising_sde_converges_to_target_with_noise():
+    mu = 2.0
+    interp = LinearInterpolant(one_sided=True)
+
+    def denoiser(x, t):
+        tb = t.reshape(t.shape[0], *([1] * (x.ndim - 1)))
+        return (x - interp.beta(tb) * mu) / interp.alpha(tb)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (64, 1))
+    traj = solve_denoising_sde(
+        denoiser, interp, x0, jax.random.PRNGKey(1),
+        epsilon=lambda t: 0.5 * (1 - t), t0=1e-3, tf=1 - 1e-3, n_frames=16, substeps=4,
+    )
+    final = np.asarray(traj[-1])
+    assert abs(final.mean() - mu) < 0.2
+    assert final.std() < 0.3  # collapsed onto the delta target
+
+
+def test_solver_wrapper_api():
+    solver = ODEFlowSolver(linear_field, adaptive=False, method="rk4", substeps=2)
+    traj = solver.solve(jnp.ones((1, 2)), t0=0.0, tf=1.0, n_steps=8)
+    assert traj.shape == (8, 1, 2)
+    solver_a = ODEFlowSolver(lambda x, t: -x, adaptive=True)
+    traj_a = solver_a.solve(jnp.ones((1, 2)), n_steps=8)
+    np.testing.assert_allclose(np.asarray(traj_a[-1]), np.exp(-1.0), rtol=1e-5)
+
+
+def test_solvers_are_jittable():
+    f = jax.jit(lambda x0: solve_ode(linear_field, x0, n_frames=4, substeps=2)[-1])
+    np.testing.assert_allclose(np.asarray(f(jnp.ones((1, 2)))), np.exp(-1), rtol=1e-2)
