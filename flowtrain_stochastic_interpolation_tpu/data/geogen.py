@@ -1,0 +1,86 @@
+"""GeoGen (StructuralGeo) adapter — the reference's real data source.
+
+The reference depends on ``GeoGen @ StructuralGeo v1.0`` (``pyproject.toml:25``)
+whose ``GeoData3DStreamingDataset`` generates synthetic geology on CPU
+workers.  GeoGen stays an optional host-side dependency here (exactly as in
+the reference); when absent, :mod:`.synthetic` provides a device-native
+stand-in with the same category convention.
+
+Use :func:`get_dataset` to resolve the configured source.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from flowtrain_stochastic_interpolation_tpu.config import DataConfig
+from flowtrain_stochastic_interpolation_tpu.data.synthetic import SyntheticGeoDataset
+
+
+def geogen_available() -> bool:
+    try:
+        import geogen  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class GeoGenDataset:
+    """Wraps GeoGen's streaming dataset behind the same ``batches`` API.
+
+    Host-side generation (GeoGen is numpy/CPU); batches are stacked on host
+    and shipped to device by the caller.  Reference call signature:
+    ``GeoData3DStreamingDataset(model_resolution, model_bounds, dataset_size,
+    device)`` (``model_train_inference.py:249-254``).
+    """
+
+    def __init__(
+        self,
+        model_resolution: Tuple[int, int, int],
+        model_bounds,
+        dataset_size: int,
+        n_categories: int = 15,
+        seed: int = 0,
+    ):
+        from geogen.dataset import GeoData3DStreamingDataset  # type: ignore
+
+        self._ds = GeoData3DStreamingDataset(
+            model_resolution=model_resolution,
+            model_bounds=model_bounds,
+            dataset_size=dataset_size,
+            device="cpu",
+        )
+        self.model_resolution = tuple(model_resolution)
+        self.dataset_size = dataset_size
+        self.n_categories = n_categories
+
+    def __len__(self) -> int:
+        return self.dataset_size
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        sample = self._ds[idx]  # [1, X, Y, Z] torch tensor
+        return np.asarray(sample.squeeze(0).cpu().numpy(), dtype=np.int32)
+
+    def batches(self, batch_size: int, epoch: int = 0) -> Iterator[np.ndarray]:
+        n_batches = max(self.dataset_size // batch_size, 1)
+        for i in range(n_batches):
+            items = [self[epoch * self.dataset_size + i * batch_size + j] for j in range(batch_size)]
+            yield np.stack(items, axis=0)
+
+
+def get_dataset(cfg: DataConfig, seed: int = 0):
+    """Resolve the configured data source ('geogen' with synthetic fallback)."""
+    if cfg.source == "geogen":
+        if geogen_available():
+            return GeoGenDataset(
+                cfg.shape, cfg.bounds, cfg.epoch_size, cfg.num_categories, seed
+            )
+        import warnings
+
+        warnings.warn("GeoGen not installed; falling back to synthetic generator")
+    return SyntheticGeoDataset(
+        cfg.shape, cfg.bounds, cfg.epoch_size, cfg.num_categories, seed
+    )

@@ -1,0 +1,205 @@
+"""Sampling pipelines: noise → ODE/SDE integration → categorical decode.
+
+The inference layer of the reference apps rebuilt as compiled pipelines:
+
+* unconditional: ``run_inference`` (``model_train_inference.py:575-711``) —
+  seeded X0, flow ODE solve t0=0.001→1.0, cosine decode;
+* conditional: ``run_inference``/``populate_solutions``
+  (``model_inference_experiments.py:171-317``) — ATb-conditioned velocity
+  wrapper, batched seeds, decode−1;
+* in-training callback sampling with prominence maps
+  (``callbacks.py:60-169``).
+
+Everything inside :func:`sample_unconditional` / :func:`sample_conditional`
+is one jitted program per batch (integration + decode fused); the reference's
+host-callback-per-stage dopri5 pattern is available via ``adaptive=True``.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from flowtrain_stochastic_interpolation_tpu.config import ExperimentConfig
+from flowtrain_stochastic_interpolation_tpu.ops.embedding import (
+    decode,
+    decode_logits,
+    embed,
+    prominence,
+)
+from flowtrain_stochastic_interpolation_tpu.solvers import (
+    solve_ode,
+    solve_ode_adaptive,
+)
+
+
+@dataclass
+class SampleResult:
+    decoded: np.ndarray        # [N, X, Y, Z] int32 (0-based table rows)
+    trajectory: Optional[np.ndarray]  # [n_frames, N, X, Y, Z, E] or None
+    prominence: Optional[np.ndarray]  # [N, X, Y, Z] float or None
+    seconds_per_batch: list = None
+    nfe: Optional[int] = None
+
+
+def make_sampler(
+    model,
+    variables: Dict[str, Any],
+    table: Array,
+    *,
+    atb: Optional[Array] = None,
+    t0: float = 0.001,
+    tf: float = 1.0,
+    n_frames: int = 16,
+    substeps: int = 2,
+    method: str = "rk4",
+    adaptive: bool = False,
+    atol: float = 1e-6,
+    rtol: float = 1e-6,
+    keep_trajectory: bool = False,
+    with_prominence: bool = False,
+):
+    """Build a jitted ``sampler(x0[, atb]) -> outputs`` closure.
+
+    When ``atb`` is given (or passed at call time) the velocity is the
+    conditional net ``net(x, ATb, t)`` (reference ``dxdt_cond`` wrapper,
+    ``model_inference_experiments.py:201-202``).
+    """
+    conditional = atb is not None
+
+    def run(x0, atb_batch=None):
+        if conditional or atb_batch is not None:
+            velocity = lambda x, t: model.apply(variables, x, atb_batch, t)
+        else:
+            velocity = lambda x, t: model.apply(variables, x, t)
+
+        if adaptive:
+            traj, nfe = solve_ode_adaptive(
+                velocity, x0, t0=t0, tf=tf, n_frames=n_frames, atol=atol, rtol=rtol
+            )
+        else:
+            traj = solve_ode(
+                velocity, x0, t0=t0, tf=tf, n_frames=n_frames,
+                substeps=substeps, method=method,
+            )
+            nfe = jnp.int32(0)
+        final = traj[-1]
+        out = {"decoded": decode(final, table), "nfe": nfe}
+        if with_prominence:
+            out["prominence"] = prominence(decode_logits(final, table))
+        if keep_trajectory:
+            out["trajectory"] = traj
+        return out
+
+    if conditional:
+        return jax.jit(lambda x0: run(x0, atb))
+    return jax.jit(run)
+
+
+def sample_unconditional(
+    model,
+    variables: Dict[str, Any],
+    table: Array,
+    *,
+    n_samples: int,
+    batch_size: int,
+    data_shape: Tuple[int, int, int],
+    embedding_dim: int,
+    seed: Optional[int] = 100,
+    verbose: bool = True,
+    **sampler_kwargs,
+) -> SampleResult:
+    """Batched unconditional generation (reference ``run_inference`` :575-711)."""
+    sampler = make_sampler(model, variables, table, **sampler_kwargs)
+    key = jax.random.PRNGKey(seed if seed is not None else 0)
+
+    decoded, trajs, proms, times = [], [], [], []
+    n_batches = (n_samples - 1) // batch_size + 1
+    nfe = None
+    for b in range(n_batches):
+        bs = min(batch_size, n_samples - b * batch_size)
+        k = jax.random.fold_in(key, b)
+        x0 = jax.random.normal(k, (bs, *data_shape, embedding_dim), jnp.float32)
+        t_start = time.perf_counter()
+        out = jax.block_until_ready(sampler(x0))
+        dt = time.perf_counter() - t_start
+        times.append(dt)
+        if verbose:
+            print(f"batch {b + 1}/{n_batches}: solved in {dt:.2f}s")
+        decoded.append(np.asarray(out["decoded"]))
+        if "trajectory" in out:
+            trajs.append(np.asarray(out["trajectory"]))
+        if "prominence" in out:
+            proms.append(np.asarray(out["prominence"]))
+        nfe = int(out["nfe"])
+
+    return SampleResult(
+        decoded=np.concatenate(decoded, axis=0),
+        trajectory=np.concatenate(trajs, axis=1) if trajs else None,
+        prominence=np.concatenate(proms, axis=0) if proms else None,
+        seconds_per_batch=times,
+        nfe=nfe or None,
+    )
+
+
+def sample_conditional(
+    model,
+    variables: Dict[str, Any],
+    table: Array,
+    atb: Array,
+    *,
+    n_samples: int,
+    batch_size: int,
+    seed: int = 42,
+    verbose: bool = True,
+    **sampler_kwargs,
+) -> SampleResult:
+    """Ensemble generation conditioned on one observation volume ATb.
+
+    ``atb``: ``[X, Y, Z, E]`` (single scenario); it is batch-expanded like the
+    reference (``model_inference_experiments.py:230-239``), and per-batch seeds
+    follow the reference's ``seed + i`` convention (``:294-308``).
+    """
+    data_shape = atb.shape[:-1]
+    e = atb.shape[-1]
+    sampler = None
+    decoded, times = [], []
+    n_batches = (n_samples - 1) // batch_size + 1
+    for b in range(n_batches):
+        bs = min(batch_size, n_samples - b * batch_size)
+        atb_b = jnp.broadcast_to(atb[None], (bs, *data_shape, e))
+        if sampler is None or bs != batch_size:
+            sampler = make_sampler(model, variables, table, atb=atb_b, **sampler_kwargs)
+        key = jax.random.PRNGKey(seed + b)
+        x0 = jax.random.normal(key, (bs, *data_shape, e), jnp.float32)
+        t_start = time.perf_counter()
+        out = jax.block_until_ready(sampler(x0))
+        times.append(time.perf_counter() - t_start)
+        if verbose:
+            print(f"batch {b + 1}/{n_batches}: solved in {times[-1]:.2f}s")
+        decoded.append(np.asarray(out["decoded"]))
+
+    return SampleResult(
+        decoded=np.concatenate(decoded, axis=0),
+        trajectory=None,
+        prominence=None,
+        seconds_per_batch=times,
+    )
+
+
+def build_atb(
+    true_model: Array, mask: Array, table: Array
+) -> Array:
+    """Conditioning volume from a true model + observation mask.
+
+    ``ATb = embed(true) * mask`` (reference ``populate_solutions`` :287-291).
+    """
+    x1 = embed(true_model[None], table)[0]  # [X, Y, Z, E]
+    return x1 * mask[..., None]

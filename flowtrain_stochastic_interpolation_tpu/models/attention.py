@@ -1,0 +1,137 @@
+"""Attention blocks over flattened voxel/pixel tokens.
+
+Rebuilds the reference attention zoo
+(``/root/reference/src/flowtrain/models/unet_attn_3d.py:284-465``):
+
+* :class:`LinearAttention` — O(N) softmax-q/softmax-k factorised attention
+  with 4 memory KV slots, used at every non-innermost UNet scale (the
+  reference's whole strategy for 262k-token volumes, SURVEY.md §5).
+* :class:`Attention` — full softmax attention with memory KV, used at the
+  innermost scale.  Dispatches to a Pallas flash-attention kernel when the
+  token count is large enough to benefit (``ops/flash_attention.py``),
+  replacing the reference's ``F.scaled_dot_product_attention`` backend
+  selection (``unet_attn_3d.py:376-434``).
+
+Both operate on channels-last feature maps ``[B, *spatial, C]``; QKV
+projections are channel Dense layers (the channels-last equivalent of the
+reference's 1×1 convs).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import Array
+
+from flowtrain_stochastic_interpolation_tpu.models.layers import RMSNorm
+
+Dtype = Any
+
+# Minimum token count for which the Pallas kernel beats the fused einsum path
+# (innermost 4^3=64 tokens never qualify; 16^3+ does).
+_FLASH_MIN_TOKENS = 1024
+
+
+class LinearAttention(nn.Module):
+    """O(N) linear attention (ref ``unet_attn_3d.py:284-341``).
+
+    q is softmaxed over the per-head feature axis, k over the token axis;
+    the context ``k^T v`` is a [d, e] matrix per head, so cost is O(N d e)
+    instead of O(N² d).  4 learnable memory KV tokens are prepended.
+    """
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+    num_mem_kv: int = 4
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        spatial = x.shape[1:-1]
+        b = x.shape[0]
+        n = 1
+        for s in spatial:
+            n *= s
+        hidden = self.heads * self.dim_head
+
+        x = RMSNorm(self.dim, dtype=self.dtype, name="norm")(x)
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, h, d]
+
+        mem_kv = self.param(
+            "mem_kv", nn.initializers.normal(1.0),
+            (2, self.heads, self.num_mem_kv, self.dim_head), jnp.float32,
+        ).astype(q.dtype)
+        mk = jnp.broadcast_to(mem_kv[0], (b, *mem_kv[0].shape)).transpose(0, 2, 1, 3)
+        mv = jnp.broadcast_to(mem_kv[1], (b, *mem_kv[1].shape)).transpose(0, 2, 1, 3)
+        k = jnp.concatenate([mk, k], axis=1)  # [B, N+m, h, d]
+        v = jnp.concatenate([mv, v], axis=1)
+
+        # softmax over feature axis for q, token axis for k (ref :326-327)
+        q = nn.softmax(q, axis=-1) * (self.dim_head**-0.5)
+        k = nn.softmax(k, axis=1)
+
+        # context[b,h,d,e] = sum_n k[b,n,h,d] v[b,n,h,e]  (MXU contraction)
+        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        out = out.reshape(b, *spatial, hidden)
+
+        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        return RMSNorm(self.dim, dtype=self.dtype, name="out_norm")(out)
+
+
+def _sdpa(q: Array, k: Array, v: Array, use_flash: bool) -> Array:
+    """Scaled dot-product attention on [B, N, h, d] tensors."""
+    n = q.shape[1]
+    if use_flash and n >= _FLASH_MIN_TOKENS and q.shape[-1] % 8 == 0:
+        from flowtrain_stochastic_interpolation_tpu.ops.flash_attention import (
+            flash_attention,
+        )
+
+        return flash_attention(q, k, v)
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bihd,bjhd->bhij", q, k) * scale
+    probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhij,bjhd->bihd", probs, v)
+
+
+class Attention(nn.Module):
+    """Full softmax attention with memory KV (ref ``unet_attn_3d.py:344-373``)."""
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+    num_mem_kv: int = 4
+    flash: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        spatial = x.shape[1:-1]
+        b = x.shape[0]
+        n = 1
+        for s in spatial:
+            n *= s
+        hidden = self.heads * self.dim_head
+
+        x = RMSNorm(self.dim, dtype=self.dtype, name="norm")(x)
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        mem_kv = self.param(
+            "mem_kv", nn.initializers.normal(1.0),
+            (2, self.heads, self.num_mem_kv, self.dim_head), jnp.float32,
+        ).astype(q.dtype)
+        mk = jnp.broadcast_to(mem_kv[0], (b, *mem_kv[0].shape)).transpose(0, 2, 1, 3)
+        mv = jnp.broadcast_to(mem_kv[1], (b, *mem_kv[1].shape)).transpose(0, 2, 1, 3)
+        k = jnp.concatenate([mk, k], axis=1)
+        v = jnp.concatenate([mv, v], axis=1)
+
+        out = _sdpa(q, k, v, self.flash)
+        out = out.reshape(b, *spatial, hidden)
+        return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)

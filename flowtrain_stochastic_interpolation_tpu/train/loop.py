@@ -1,0 +1,190 @@
+"""Host-side training loop: data feed, metrics, checkpoints, periodic sampling.
+
+The Lightning ``Trainer`` replacement (reference stack 3.1 in SURVEY.md):
+resume-from-latest, per-step metric logging (CSV + optional wandb), periodic
+in-training inference with prominence uncertainty maps
+(``callbacks.py:48-169``), and orbax checkpointing of
+``{params, ema_params, opt_state, step}``.
+
+The hot path stays entirely on device: the synthetic data source generates
+batches in HBM and the jitted ``train_step`` is the only dispatch per step.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowtrain_stochastic_interpolation_tpu.config import ExperimentConfig
+from flowtrain_stochastic_interpolation_tpu.data.geogen import get_dataset
+from flowtrain_stochastic_interpolation_tpu.models import UNet3D, UNet3DCond
+from flowtrain_stochastic_interpolation_tpu.ops.embedding import simplex_embedding
+from flowtrain_stochastic_interpolation_tpu.parallel import create_mesh, shard_batch
+from flowtrain_stochastic_interpolation_tpu.train.checkpoint import CheckpointManager
+from flowtrain_stochastic_interpolation_tpu.train.state import (
+    TrainState,
+    init_state,
+    make_optimizer,
+)
+from flowtrain_stochastic_interpolation_tpu.train.steps import make_train_step
+from flowtrain_stochastic_interpolation_tpu.utils.logging import MetricsWriter
+
+
+def build_model(config: ExperimentConfig):
+    """Instantiate the configured UNet (conditional or not)."""
+    mc = config.model
+    dtype = {"bfloat16": jnp.bfloat16, "float32": None}.get(mc.dtype, None)
+    common = dict(
+        dim=mc.dim,
+        dim_mults=tuple(mc.dim_mults),
+        data_channels=config.data.embedding_dim,
+        dropout=mc.dropout,
+        self_condition=mc.self_condition,
+        time_resolution=mc.time_resolution,
+        time_sin_pos=mc.time_sin_pos,
+        time_bandwidth=mc.time_bandwidth,
+        time_learned_emb=mc.time_learned_emb,
+        attn_enabled=mc.attn_enabled,
+        attn_dim_head=mc.attn_dim_head,
+        attn_heads=mc.attn_heads,
+        full_attn=mc.full_attn,
+        flash_attn=mc.flash_attn,
+        dtype=dtype,
+    )
+    if mc.conditional:
+        return UNet3DCond(**common, variant=mc.cond_variant)
+    return UNet3D(**common)
+
+
+def init_train_state(config: ExperimentConfig, mesh=None) -> tuple:
+    """Build (model, tx, state) with params replicated over the mesh."""
+    model = build_model(config)
+    key = jax.random.PRNGKey(config.training.seed)
+    shape = config.data.shape
+    e = config.data.embedding_dim
+    x = jnp.zeros((1, *shape, e), jnp.float32)
+    t = jnp.zeros((1,), jnp.float32)
+    if config.model.conditional:
+        variables = model.init(key, x, x, t)
+    else:
+        variables = model.init(key, x, t)
+
+    table = jnp.asarray(simplex_embedding(config.data.num_categories, e))
+    constants = {
+        "embedding": table,
+        "model": dict(variables.get("constants", {})),
+    }
+
+    updates_per_epoch = max(
+        config.data.epoch_size
+        // config.data.batch_size
+        // config.training.accumulate_grad_batches,
+        1,
+    )
+    tx = make_optimizer(config.training, updates_per_epoch)
+    state = init_state(variables["params"], constants, tx, config.ema)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+    return model, tx, state
+
+
+@dataclass
+class TrainResult:
+    state: TrainState
+    history: list = field(default_factory=list)
+    steps_per_sec: float = 0.0
+
+
+def train(
+    config: ExperimentConfig,
+    *,
+    num_steps: Optional[int] = None,
+    mesh=None,
+    checkpoint_dir: Optional[str] = None,
+    writer: Optional[MetricsWriter] = None,
+    callback: Optional[Callable[[int, TrainState, Dict[str, float]], None]] = None,
+    state: Optional[TrainState] = None,
+) -> TrainResult:
+    """Run training for ``num_steps`` micro-batches (or config epochs).
+
+    Resumes from the latest checkpoint in ``checkpoint_dir`` when present
+    (reference ``launch_training`` resume semantics,
+    ``model_train_inference.py:499-515``).
+    """
+    if mesh is None:
+        mesh = create_mesh()
+    model, tx, fresh_state = init_train_state(config, mesh)
+    if state is None:
+        state = fresh_state
+
+    mgr = None
+    if checkpoint_dir:
+        mgr = CheckpointManager(
+            checkpoint_dir, config, max_to_keep=config.training.keep_checkpoints
+        )
+        if config.resume and mgr.latest_step() is not None:
+            state = mgr.restore(state)
+            print(f"[train] resumed from step {int(state.step)}")
+
+    train_step = make_train_step(model, tx, config)
+    dataset = get_dataset(config.data, seed=config.training.seed)
+    key = jax.random.PRNGKey(config.training.seed + 17)
+
+    batch_size = config.data.batch_size
+    steps_per_epoch = max(config.data.epoch_size // batch_size, 1)
+    total_steps = (
+        num_steps
+        if num_steps is not None
+        else steps_per_epoch * config.training.max_epochs
+    )
+
+    history = []
+    start_step = int(state.step)
+    t_start = time.perf_counter()
+    step = start_step
+    epoch = start_step // steps_per_epoch
+    batch_iter = dataset.batches(batch_size, epoch=epoch)
+
+    while step < start_step + total_steps:
+        try:
+            batch = next(batch_iter)
+        except StopIteration:
+            epoch += 1
+            batch_iter = dataset.batches(batch_size, epoch=epoch)
+            continue
+        batch = shard_batch(jnp.asarray(batch), mesh)
+        state, metrics = train_step(state, batch, key)
+        step += 1
+
+        if step % config.training.log_every_n_steps == 0 or step == start_step + total_steps:
+            host_metrics = {k: float(v) for k, v in metrics.items()}
+            host_metrics["step"] = step
+            history.append(host_metrics)
+            if writer:
+                writer.write(step, host_metrics)
+            if callback:
+                callback(step, state, host_metrics)
+
+        if mgr and step % config.training.checkpoint_every_steps == 0:
+            mgr.save(step, state, metrics={"train_loss": float(metrics["train_loss"])})
+
+    # block for an honest timing figure
+    jax.block_until_ready(state.params)
+    elapsed = time.perf_counter() - t_start
+    if mgr:
+        mgr.save(step, state, metrics={"train_loss": history[-1]["train_loss"] if history else 0.0})
+        mgr.wait()
+        mgr.close()
+
+    return TrainResult(
+        state=state,
+        history=history,
+        steps_per_sec=(step - start_step) / max(elapsed, 1e-9),
+    )

@@ -1,0 +1,128 @@
+"""End-to-end training smoke tests: 16³ tiny UNet, loss decreases, EMA,
+checkpoint roundtrip, and 8-device data-parallel execution (BASELINE.json
+config 2 analogue)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowtrain_stochastic_interpolation_tpu.config import (
+    DataConfig,
+    EMAConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainingConfig,
+)
+from flowtrain_stochastic_interpolation_tpu.data.synthetic import (
+    synthetic_geology_batch,
+)
+from flowtrain_stochastic_interpolation_tpu.parallel import create_mesh, shard_batch
+from flowtrain_stochastic_interpolation_tpu.train.loop import (
+    init_train_state,
+    train,
+)
+from flowtrain_stochastic_interpolation_tpu.train.steps import make_train_step
+from flowtrain_stochastic_interpolation_tpu.train.state import make_optimizer
+
+
+def tiny_config(conditional=False, **training_overrides) -> ExperimentConfig:
+    training = TrainingConfig(
+        learning_rate=2e-3,
+        lr_decay=0.997,
+        gradient_clip_val=1.0,
+        accumulate_grad_batches=1,
+        time_range=(0.001, 0.999),
+        log_every_n_steps=1,
+        checkpoint_every_steps=100,
+        **training_overrides,
+    )
+    return ExperimentConfig(
+        name="tiny-test",
+        model=ModelConfig(
+            dim=8,
+            dim_mults=(1, 2),
+            dropout=0.0,
+            time_resolution=16,
+            time_bandwidth=10.0,
+            time_learned_emb=True,
+            attn_dim_head=4,
+            attn_heads=2,
+            conditional=conditional,
+            dtype="float32",
+        ),
+        data=DataConfig(
+            shape=(8, 8, 8), batch_size=8, epoch_size=64, embedding_dim=15
+        ),
+        training=training,
+        ema=EMAConfig(enabled=True, decay=0.9, start_step=0),
+    )
+
+
+def test_unconditional_loss_decreases():
+    cfg = tiny_config()
+    result = train(cfg, num_steps=30)
+    losses = [h["train_loss"] for h in result.history]
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9, losses
+    assert result.steps_per_sec > 0
+
+
+def test_conditional_loss_decreases():
+    cfg = tiny_config(conditional=True)
+    result = train(cfg, num_steps=30)
+    losses = [h["train_loss"] for h in result.history]
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    # conditional metrics present (flow + reconstruct, ref :454-465)
+    assert "flow_loss" in result.history[0] and "reconstruct_loss" in result.history[0]
+
+
+def test_ema_tracks_params():
+    cfg = tiny_config()
+    mesh = create_mesh(1)
+    model, tx, state = init_train_state(cfg, mesh)
+    step_fn = make_train_step(model, tx, cfg)
+    batch = synthetic_geology_batch(jax.random.PRNGKey(0), 8, (8, 8, 8))
+    key = jax.random.PRNGKey(1)
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+    for _ in range(3):
+        state, _ = step_fn(state, batch, key)
+    # EMA is a convex blend: strictly between old shadow and new params
+    leaf = lambda t: np.asarray(jax.tree.leaves(t)[0])
+    assert not np.allclose(leaf(state.ema_params), leaf(state.params))
+    assert not np.allclose(leaf(state.ema_params), leaf(p0))
+
+
+def test_gradient_accumulation_runs():
+    cfg = tiny_config(accumulate_grad_batches=4)
+    result = train(cfg, num_steps=8)
+    assert np.isfinite([h["train_loss"] for h in result.history]).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_config()
+    result = train(cfg, num_steps=5, checkpoint_dir=str(tmp_path / "ckpt"))
+    cfg2 = dataclasses.replace(cfg, resume=True)
+    result2 = train(cfg2, num_steps=3, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert int(result2.state.step) == 8  # resumed from 5, ran 3 more
+
+
+def test_data_parallel_8_devices():
+    assert len(jax.devices()) == 8
+    mesh = create_mesh(8)
+    cfg = tiny_config()
+    model, tx, state = init_train_state(cfg, mesh)
+    step_fn = make_train_step(model, tx, cfg)
+    batch = synthetic_geology_batch(jax.random.PRNGKey(0), 8, (8, 8, 8))
+    batch = shard_batch(batch, mesh)
+    # batch axis sharded over 8 devices
+    assert len(batch.sharding.device_set) == 8
+    key = jax.random.PRNGKey(1)
+    state, metrics = step_fn(state, batch, key)
+    assert np.isfinite(float(metrics["train_loss"]))
+    # params stay replicated
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
