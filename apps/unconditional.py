@@ -1,0 +1,164 @@
+"""Unconditional 64³ geological generation: train + inference CLI.
+
+TPU-native rebuild of
+``/root/reference/project/geodata-3d-unconditional/model_train_inference.py``:
+same flags (``--mode train/inference/both --n-samples --batch-size --seed
+--checkpoint-path --no-save-images``, ref ``:726-789``), same recipe
+(dim=48, mults (1,1,2,3,4), 18-d simplex embedding, Adam 2e-4, γ=0.997,
+clip 1.0, accum 24 — ref ``:51-115``), with orbax checkpoints and the
+compiled fixed-NFE sampler.  A reference ``.ckpt`` can be supplied directly:
+it is converted on the fly (``--checkpoint-path foo.ckpt``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowtrain_stochastic_interpolation_tpu.config import unconditional_64
+from flowtrain_stochastic_interpolation_tpu.inference import sample_unconditional
+from flowtrain_stochastic_interpolation_tpu.ops.embedding import simplex_embedding
+from flowtrain_stochastic_interpolation_tpu.train.checkpoint import CheckpointManager
+from flowtrain_stochastic_interpolation_tpu.train.loop import (
+    build_model,
+    init_train_state,
+    train,
+)
+from flowtrain_stochastic_interpolation_tpu.utils.logging import MetricsWriter
+
+
+def setup_directories(root_dir: str, name: str) -> dict:
+    dirs = {
+        "checkpoint_dir": os.path.join(root_dir, "saved_models", name),
+        "photo_dir": os.path.join(root_dir, "images", name),
+        "samples_dir": os.path.join(root_dir, "samples", name),
+        "metrics_dir": os.path.join(root_dir, "metrics", name),
+    }
+    for p in dirs.values():
+        os.makedirs(p, exist_ok=True)
+    return dirs
+
+
+def load_variables(config, checkpoint_path: str | None, dirs: dict, use_ema: bool = True):
+    """Resolve model variables from: torch .ckpt | orbax dir | fresh init."""
+    model = build_model(config)
+    e = config.data.embedding_dim
+
+    if checkpoint_path and checkpoint_path.endswith(".ckpt"):
+        from flowtrain_stochastic_interpolation_tpu.models.persistence import (
+            convert_lightning_module,
+            load_lightning_checkpoint,
+        )
+
+        ckpt = load_lightning_checkpoint(checkpoint_path)
+        converted = convert_lightning_module(ckpt, conditional=False, use_ema=use_ema)
+        table = jnp.asarray(converted["embedding"])
+        return model, {"params": converted["params"]}, table
+
+    ckpt_dir = checkpoint_path or dirs["checkpoint_dir"]
+    mgr = CheckpointManager(ckpt_dir, None)
+    table = jnp.asarray(simplex_embedding(config.data.num_categories, e))
+    _, _, state = init_train_state(config)
+    if mgr.latest_step() is not None:
+        state = mgr.restore(state)
+        print(f"loaded checkpoint step {mgr.latest_step()} from {ckpt_dir}")
+        params = state.ema_params if (use_ema and config.ema.enabled) else state.params
+    else:
+        print("WARNING: no checkpoint found — using random init")
+        params = state.params
+    variables = {"params": params}
+    if state.constants.get("model"):
+        variables["constants"] = state.constants["model"]
+    table = state.constants.get("embedding", table)
+    return model, variables, table
+
+
+def run_inference(args, config, dirs) -> None:
+    model, variables, table = load_variables(config, args.checkpoint_path, dirs)
+    ic = config.inference
+    result = sample_unconditional(
+        model, variables, table,
+        n_samples=args.n_samples,
+        batch_size=args.batch_size,
+        data_shape=config.data.shape,
+        embedding_dim=config.data.embedding_dim,
+        seed=args.seed,
+        t0=ic.t0, tf=ic.tf, n_frames=ic.n_frames,
+        substeps=ic.substeps, method=ic.method, adaptive=args.adaptive,
+        keep_trajectory=args.save_trajectories, with_prominence=True,
+    )
+    for i in range(result.decoded.shape[0]):
+        # decoded rows are 0-based; -1 recovers the GeoGen air=-1 convention
+        np.save(
+            os.path.join(dirs["samples_dir"], f"decoded_s{args.seed}_{i}.npy"),
+            result.decoded[i].astype(np.int8) - 1,
+        )
+        if result.trajectory is not None:
+            np.save(
+                os.path.join(dirs["samples_dir"], f"fullsol_s{args.seed}_{i}.npy"),
+                result.trajectory[:, i],
+            )
+    if args.save_images:
+        from flowtrain_stochastic_interpolation_tpu.utils.plotting import (
+            plot_2d_slices,
+        )
+
+        for i in range(min(result.decoded.shape[0], 4)):
+            plot_2d_slices(
+                result.decoded[i] - 1,
+                save_path=os.path.join(dirs["photo_dir"], f"cat_slices_{i}.png"),
+            )
+    total = sum(result.seconds_per_batch)
+    print(f"Generated {args.n_samples} samples in {total:.2f}s "
+          f"({args.n_samples / total * 60:.1f} samples/min)")
+
+
+def parse_arguments():
+    p = argparse.ArgumentParser(
+        description="Train or sample the unconditional 3D geology model",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("--mode", choices=["train", "inference", "both"], default="inference")
+    p.add_argument("--n-samples", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--seed", type=int, default=100)
+    p.add_argument("--steps", type=int, default=None, help="cap training steps")
+    p.add_argument("--checkpoint-path", type=str, default=None,
+                   help="orbax dir or reference .ckpt file")
+    p.add_argument("--adaptive", action="store_true",
+                   help="use the adaptive dopri5 sampler (reference parity)")
+    p.add_argument("--save-images", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--save-trajectories", action=argparse.BooleanOptionalAction, default=False)
+    p.add_argument("--root-dir", type=str, default=os.path.dirname(os.path.abspath(__file__)))
+    return p.parse_args()
+
+
+def main():
+    args = parse_arguments()
+    config = unconditional_64()
+    dirs = setup_directories(args.root_dir, config.name)
+    print(f"mode={args.mode} devices={jax.devices()}")
+
+    if args.mode in ("train", "both"):
+        writer = MetricsWriter(dirs["metrics_dir"])
+        result = train(
+            config, num_steps=args.steps,
+            checkpoint_dir=dirs["checkpoint_dir"], writer=writer,
+        )
+        writer.close()
+        print(f"training: {result.steps_per_sec:.3f} steps/s, "
+              f"final loss {result.history[-1]['train_loss']:.4f}")
+
+    if args.mode in ("inference", "both"):
+        run_inference(args, config, dirs)
+
+
+if __name__ == "__main__":
+    main()

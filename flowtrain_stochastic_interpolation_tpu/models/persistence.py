@@ -107,9 +107,12 @@ class _Mapper:
         self.put(f"{dst}/g", _rmsnorm_g(self._get(f"{src}.g")))
 
     def resnet(self, src: str, dst: str) -> None:
-        """ResnetBlock (ref unet_attn_3d.py:247-278)."""
+        """ResnetBlock (ref unet_attn_3d.py:247-278; the conditional variants
+        name the time MLP ``time_mlp``, cond_v3:335-341)."""
         if self.has(f"{src}.mlp.1.weight"):
             self.linear(f"{src}.mlp.1", f"{dst}/mlp")
+        elif self.has(f"{src}.time_mlp.1.weight"):
+            self.linear(f"{src}.time_mlp.1", f"{dst}/mlp")
         self.conv(f"{src}.block1.proj", f"{dst}/block1/proj")
         self.rmsnorm(f"{src}.block1.norm", f"{dst}/block1/norm")
         self.conv(f"{src}.block2.proj", f"{dst}/block2/proj")
