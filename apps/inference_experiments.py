@@ -80,7 +80,7 @@ def load_model_with_ema_option(config, checkpoint_path, use_ema: bool):
             table = state.constants["embedding"]
         else:
             print("WARNING: no checkpoint found — random init")
-    params = state.ema_params if use_ema else state.params
+    params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
     variables = {"params": params}
     if state.constants.get("model"):
         variables["constants"] = state.constants["model"]

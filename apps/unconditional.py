@@ -69,7 +69,7 @@ def load_variables(config, checkpoint_path: str | None, dirs: dict, use_ema: boo
     if mgr.latest_step() is not None:
         state = mgr.restore(state)
         print(f"loaded checkpoint step {mgr.latest_step()} from {ckpt_dir}")
-        params = state.ema_params if (use_ema and config.ema.enabled) else state.params
+        params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
     else:
         print("WARNING: no checkpoint found — using random init")
         params = state.params

@@ -64,7 +64,8 @@ class InferenceCallback:
 
     def run_inference(self, state: TrainState, tag: str = "manual") -> dict:
         cfg = self.config
-        params = state.ema_params if (self.use_ema and cfg.ema.enabled) else state.params
+        use_ema = self.use_ema and cfg.ema.enabled and state.ema_params is not None
+        params = state.ema_params if use_ema else state.params
         variables = {"params": params}
         if state.constants.get("model"):
             variables["constants"] = state.constants["model"]

@@ -31,10 +31,12 @@ class TrainState(struct.PyTreeNode):
     params: Any
     constants: Any  # frozen collections: embedding table, fourier constants
     opt_state: Any
-    ema_params: Any  # EMA shadow (== params when EMA disabled)
+    ema_params: Any  # EMA shadow tree; None when EMA is disabled
 
     def with_ema_applied(self) -> "TrainState":
         """Swap EMA weights in for inference (reference ``apply_ema_weights``)."""
+        if self.ema_params is None:
+            return self
         return self.replace(params=self.ema_params)
 
 
@@ -71,12 +73,14 @@ def init_state(
     tx: optax.GradientTransformation,
     ema: EMAConfig,
 ) -> TrainState:
+    # NB: the shadow must be a distinct buffer — donated train steps may not
+    # see the same buffer twice (params and ema_params both live in state).
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         constants=constants,
         opt_state=tx.init(params),
-        ema_params=params if ema.enabled else params,
+        ema_params=jax.tree.map(jnp.copy, params) if ema.enabled else None,
     )
 
 
@@ -87,8 +91,8 @@ def ema_update(ema_cfg: EMAConfig, step: jax.Array, ema_params: Any, params: Any
     (``callbacks.py:238-268``): before ``start_step`` the shadow tracks the
     raw weights; afterwards it decays every ``update_every`` steps.
     """
-    if not ema_cfg.enabled:
-        return params
+    if not ema_cfg.enabled or ema_params is None:
+        return None
     d = ema_cfg.decay
     do_decay = (step >= ema_cfg.start_step) & (step % ema_cfg.update_every == 0)
 

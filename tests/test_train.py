@@ -29,7 +29,7 @@ from flowtrain_stochastic_interpolation_tpu.train.state import make_optimizer
 
 
 def tiny_config(conditional=False, **training_overrides) -> ExperimentConfig:
-    training = TrainingConfig(
+    kwargs = dict(
         learning_rate=2e-3,
         lr_decay=0.997,
         gradient_clip_val=1.0,
@@ -37,8 +37,9 @@ def tiny_config(conditional=False, **training_overrides) -> ExperimentConfig:
         time_range=(0.001, 0.999),
         log_every_n_steps=1,
         checkpoint_every_steps=100,
-        **training_overrides,
     )
+    kwargs.update(training_overrides)
+    training = TrainingConfig(**kwargs)
     return ExperimentConfig(
         name="tiny-test",
         model=ModelConfig(
