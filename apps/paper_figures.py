@@ -1,0 +1,125 @@
+"""Paper-figure generation from saved ensembles and samples.
+
+Rebuilds the figure pipeline of
+``/root/reference/paper-figures/unconditional-and-dike-prob-figs/visualize.py``:
+dike probability maps from an ensemble probability tensor (``:34-169``),
+unconditional-sample figures (``:237``), and dike realization grids
+(``:268-341``) — driven by the ``.npy`` artifacts that
+``apps/inference_experiments.py --stage analyze`` writes
+(``probability_tensor.npy``, ``dike_probability.npy``, ``sol_*.npy``).
+
+Matplotlib everywhere (the reference's PyVista volume views fall back to
+orthogonal slice figures when pyvista is absent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from flowtrain_stochastic_interpolation_tpu.utils.plotting import (
+    _mpl,
+    plot_2d_slices,
+    plot_volume,
+)
+
+
+def dike_probability_figure(scenario_dir: str, out_path: str, threshold: float = 0.15):
+    """Dike probability map: max-projection heatmaps + thresholded volume."""
+    plt = _mpl()
+    prob = np.load(os.path.join(scenario_dir, "dike_probability.npy"))
+    fig, axes = plt.subplots(1, 3, figsize=(12, 4))
+    for ax, axis, name in zip(axes, (0, 1, 2), "XYZ"):
+        im = ax.imshow(prob.max(axis=axis), cmap="magma", vmin=0, vmax=1)
+        ax.set_title(f"P(dike) max-projection along {name}")
+        ax.axis("off")
+    fig.colorbar(im, ax=axes, shrink=0.8, label="probability")
+    fig.savefig(out_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+    vol_path = out_path.replace(".png", "_volume.png")
+    plot_volume((prob > threshold).astype(np.int8), save_path=vol_path)
+
+
+def entropy_figure(scenario_dir: str, out_path: str):
+    plt = _mpl()
+    ent = np.load(os.path.join(scenario_dir, "entropy_air_masked.npy"))
+    true = np.load(os.path.join(scenario_dir, "true_model.npy"))
+    fig, axes = plt.subplots(2, 3, figsize=(12, 8))
+    mid = [s // 2 for s in ent.shape]
+    for j, (axis, name) in enumerate(zip((0, 1, 2), "XYZ")):
+        im0 = axes[0, j].imshow(np.take(true, mid[axis], axis=axis), cmap="tab20",
+                                interpolation="nearest")
+        axes[0, j].set_title(f"true, mid-{name}")
+        im1 = axes[1, j].imshow(np.take(ent, mid[axis], axis=axis), cmap="viridis")
+        axes[1, j].set_title(f"entropy, mid-{name}")
+        axes[0, j].axis("off"); axes[1, j].axis("off")
+    fig.colorbar(im1, ax=axes[1], shrink=0.8, label="nats")
+    fig.savefig(out_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+
+def realization_grid(scenario_dir: str, out_path: str, dike_category: int = 13):
+    """Grid of dike realizations across the ensemble (ref ``:268-341``)."""
+    plt = _mpl()
+    sols = sorted(f for f in os.listdir(scenario_dir) if f.startswith("sol_"))
+    if not sols:
+        return
+    n = min(len(sols), 9)
+    fig, axes = plt.subplots(3, 3, figsize=(9, 9))
+    for i, ax in enumerate(axes.reshape(-1)):
+        ax.axis("off")
+        if i < n:
+            vol = np.load(os.path.join(scenario_dir, sols[i]))
+            ax.imshow((vol == dike_category).max(axis=2), cmap="gray_r",
+                      interpolation="nearest")
+            ax.set_title(f"realization {i}", fontsize=8)
+    fig.suptitle("dike realizations (max-projection)")
+    fig.savefig(out_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+
+def unconditional_sample_grid(samples_dir: str, out_path: str):
+    """Slice-grid figure per generated sample (ref ``:237``)."""
+    vols = sorted(f for f in os.listdir(samples_dir) if f.startswith("decoded"))
+    for i, f in enumerate(vols[:4]):
+        vol = np.load(os.path.join(samples_dir, f))
+        plot_2d_slices(vol, save_path=out_path.replace(".png", f"_{i}.png"))
+
+
+def main():
+    p = argparse.ArgumentParser(description="Generate paper figures")
+    p.add_argument("--experiments-dir", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "cond_experiments"))
+    p.add_argument("--samples-dir", default=None)
+    p.add_argument("--out-dir", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "figures"))
+    args = p.parse_args()
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    if os.path.isdir(args.experiments_dir):
+        for folder in sorted(os.listdir(args.experiments_dir)):
+            sdir = os.path.join(args.experiments_dir, folder)
+            if not os.path.isdir(sdir) or not folder.startswith("scenario"):
+                continue
+            if os.path.exists(os.path.join(sdir, "dike_probability.npy")):
+                dike_probability_figure(
+                    sdir, os.path.join(args.out_dir, f"{folder}_dike_prob.png"))
+                entropy_figure(
+                    sdir, os.path.join(args.out_dir, f"{folder}_entropy.png"))
+            realization_grid(
+                sdir, os.path.join(args.out_dir, f"{folder}_realizations.png"))
+            print(f"figures written for {folder}")
+
+    if args.samples_dir and os.path.isdir(args.samples_dir):
+        unconditional_sample_grid(
+            args.samples_dir, os.path.join(args.out_dir, "uncond_samples.png"))
+
+
+if __name__ == "__main__":
+    main()
