@@ -16,14 +16,24 @@ single-forward timing at the same NFE — see BASELINE.md for the measurement.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+# Persistent compilation cache: the 64³ sampler program is large and the
+# axon remote compile is slow — cache it across processes so repeat bench
+# runs start in seconds.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp
 
 # Reference torch-CPU baseline on this host, samples/min at NFE=120
-# (measured via tools/measure_baseline.py; see BASELINE.md).
-BASELINE_SAMPLES_PER_MIN = None  # filled once measured; None -> vs_baseline vs 1 sample/min proxy
+# (measured 2026-08-16 via tools/measure_baseline.py: 16.64 s/forward at the
+# flagship config, 22.98M params => 0.0301 samples/min; see BASELINE.md).
+BASELINE_SAMPLES_PER_MIN = 0.0301
 
 NFE = 120  # 16 frames × 2 substeps × 4 RK4 stages = (16-1)*2*4 = 120
 N_FRAMES = 16

@@ -117,6 +117,49 @@ def plot_2d_slices(
     return fig
 
 
+def make_interpolation_gif(frames, save_path: str, fps: int = 8) -> bool:
+    """GIF of an interpolation sequence [T, H, W(, C)] (reference ``:127-170``).
+
+    Needs imageio; returns False (no-op) when unavailable.
+    """
+    try:
+        import imageio
+    except ImportError:
+        return False
+    frames = np.asarray(frames)
+    u8 = denormalize_images(frames)
+    if u8.ndim == 4 and u8.shape[-1] == 1:
+        u8 = u8[..., 0]
+    imageio.mimsave(save_path, list(u8), fps=fps)
+    return True
+
+
+def animate_batch(trajectory, save_path: str, fps: int = 8, n_cols: int = 4) -> bool:
+    """GIF animating a batch through time [T, B, H, W(, C)] (ref ``:173-210``)."""
+    try:
+        import imageio
+    except ImportError:
+        return False
+    traj = np.asarray(trajectory)
+    t_len, b = traj.shape[0], traj.shape[1]
+    n_cols = min(n_cols, b)
+    n_rows = math.ceil(b / n_cols)
+    frames = []
+    for t in range(t_len):
+        imgs = denormalize_images(traj[t])
+        if imgs.ndim == 4 and imgs.shape[-1] == 1:
+            imgs = imgs[..., 0]
+        h, w = imgs.shape[1:3]
+        canvas_shape = (n_rows * h, n_cols * w) + imgs.shape[3:]
+        canvas = np.zeros(canvas_shape, dtype=np.uint8)
+        for i in range(b):
+            r, c = divmod(i, n_cols)
+            canvas[r * h:(r + 1) * h, c * w:(c + 1) * w] = imgs[i]
+        frames.append(canvas)
+    imageio.mimsave(save_path, frames, fps=fps)
+    return True
+
+
 def plot_prominence_maps(
     prominence: np.ndarray, save_path: Optional[str] = None, axis: int = 2
 ):

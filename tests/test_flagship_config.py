@@ -1,0 +1,41 @@
+"""Flagship-config structural parity: parameter count vs the reference.
+
+The reference unconditional model at its published config has 22,981,474
+parameters (measured from the torch state dict on 2026-08-16, see
+tools/measure_baseline.py).  ``jax.eval_shape`` counts ours without
+materialising anything.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowtrain_stochastic_interpolation_tpu.config import (
+    conditional_64,
+    unconditional_64,
+)
+from flowtrain_stochastic_interpolation_tpu.train.loop import build_model
+
+REFERENCE_UNCOND_PARAMS = 22_981_474
+
+
+def _count_params(model, *args):
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), *args))
+    return sum(int(np.prod(l.shape)) for l in jax.tree.leaves(shapes["params"]))
+
+
+def test_unconditional_flagship_param_count_matches_reference():
+    config = unconditional_64()
+    model = build_model(config)
+    x = jnp.zeros((1, 64, 64, 64, 18), jnp.float32)
+    t = jnp.zeros((1,), jnp.float32)
+    assert _count_params(model, x, t) == REFERENCE_UNCOND_PARAMS
+
+
+def test_conditional_flagship_initializes():
+    config = conditional_64()
+    model = build_model(config)
+    x = jnp.zeros((1, 64, 64, 64, 15), jnp.float32)
+    t = jnp.zeros((1,), jnp.float32)
+    n = _count_params(model, x, x, t)
+    assert n > 20_000_000  # conditional adds Embed/Mix blocks at every stage

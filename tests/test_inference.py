@@ -1,0 +1,80 @@
+"""End-to-end inference pipeline tests on tiny models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowtrain_stochastic_interpolation_tpu.inference import (
+    build_atb,
+    make_sampler,
+    sample_conditional,
+    sample_unconditional,
+)
+from flowtrain_stochastic_interpolation_tpu.models import UNet3D, UNet3DCond
+from flowtrain_stochastic_interpolation_tpu.ops.embedding import simplex_embedding
+
+TINY = dict(
+    dim=8, dim_mults=(1, 2), data_channels=15, dropout=0.0,
+    time_resolution=16, time_bandwidth=10.0, time_learned_emb=True,
+    attn_dim_head=4, attn_heads=2, dtype=None,
+)
+
+
+def _uncond():
+    model = UNet3D(**TINY)
+    x = jnp.zeros((1, 8, 8, 8, 15))
+    t = jnp.zeros((1,))
+    variables = model.init(jax.random.PRNGKey(0), x, t)
+    table = jnp.asarray(simplex_embedding(15, 15))
+    return model, variables, table
+
+
+def test_sample_unconditional_shapes_and_seeding():
+    model, variables, table = _uncond()
+    kwargs = dict(
+        n_samples=3, batch_size=2, data_shape=(8, 8, 8), embedding_dim=15,
+        seed=7, n_frames=4, substeps=1, method="euler", verbose=False,
+        with_prominence=True,
+    )
+    r1 = sample_unconditional(model, variables, table, **kwargs)
+    assert r1.decoded.shape == (3, 8, 8, 8)
+    assert r1.decoded.min() >= 0 and r1.decoded.max() < 15
+    assert r1.prominence.shape == (3, 8, 8, 8)
+    r2 = sample_unconditional(model, variables, table, **kwargs)
+    np.testing.assert_array_equal(r1.decoded, r2.decoded)  # seeded determinism
+
+
+def test_sampler_trajectory_and_adaptive():
+    model, variables, table = _uncond()
+    sampler = make_sampler(
+        model, variables, table, n_frames=4, substeps=1, method="heun",
+        keep_trajectory=True,
+    )
+    out = sampler(jnp.zeros((1, 8, 8, 8, 15)))
+    assert out["trajectory"].shape == (4, 1, 8, 8, 8, 15)
+    sampler_a = make_sampler(model, variables, table, n_frames=3, adaptive=True,
+                             atol=1e-3, rtol=1e-3)
+    out_a = sampler_a(jnp.zeros((1, 8, 8, 8, 15)))
+    assert int(out_a["nfe"]) > 0
+
+
+def test_sample_conditional_end_to_end():
+    model = UNet3DCond(**TINY, variant="v3")
+    x = jnp.zeros((1, 8, 8, 8, 15))
+    t = jnp.zeros((1,))
+    variables = model.init(jax.random.PRNGKey(0), x, x, t)
+    table = jnp.asarray(simplex_embedding(15, 15))
+
+    true = jax.random.randint(jax.random.PRNGKey(1), (8, 8, 8), -1, 14)
+    mask = jax.random.bernoulli(jax.random.PRNGKey(2), 0.1, (8, 8, 8))
+    atb = build_atb(true, mask, table)
+    assert atb.shape == (8, 8, 8, 15)
+    # unobserved voxels carry zero conditioning
+    assert float(jnp.abs(atb[~mask]).max()) == 0.0
+
+    result = sample_conditional(
+        model, variables, table, atb,
+        n_samples=3, batch_size=2, seed=42,
+        n_frames=3, substeps=1, method="euler", verbose=False,
+    )
+    assert result.decoded.shape == (3, 8, 8, 8)
