@@ -78,6 +78,7 @@ class TrainingConfig:
     time_range: Tuple[float, float] = (0.0005, 0.9995)
     x1_noise: float = 1e-3
     lambda_reconstruct: float = 1.0  # conditional only
+    remat: bool = False  # rematerialise the forward in backward (fit larger batches)
     log_every_n_steps: int = 5
     seed: int = 0
     checkpoint_every_steps: int = 1000

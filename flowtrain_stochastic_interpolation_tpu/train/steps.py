@@ -64,6 +64,17 @@ def make_train_step(
         model_constants = constants.get("model", {})
 
         def apply_fn(p, *args, deterministic=True, rngs=None):
+            if tc.remat:
+                # full-forward rematerialisation: backward recomputes the UNet
+                # instead of keeping ~57 conv activations at 64³ in HBM
+                # (jax.checkpoint — SURVEY.md build brief, HBM-bandwidth notes)
+                fwd = jax.checkpoint(
+                    lambda p_, *a: apply_raw(
+                        p_, model_constants, *a, deterministic=deterministic, rngs=rngs
+                    ),
+                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                )
+                return fwd(p, *args)
             return apply_raw(p, model_constants, *args, deterministic=deterministic, rngs=rngs)
 
         if conditional:
