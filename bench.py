@@ -8,9 +8,17 @@ integration → cosine decode, and reports samples/min.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 ``vs_baseline`` compares against the reference PyTorch implementation's
-measured throughput on this host's CPU (the reference's own
-``--infer-device cpu`` recipe, BASELINE.md config 1), extrapolated from
-single-forward timing at the same NFE — see BASELINE.md for the measurement.
+measured throughput on this host (its ``--infer-device cpu`` recipe, the only
+hardware it can use in this image): 16.64 s per UNet3D forward at the same
+config ⇒ 0.0301 samples/min at NFE=120 (tools/measure_baseline.py,
+BASELINE.md config 1).
+
+Program structure: one jitted RK4 step (Butcher-tableau stage loop ⇒ a single
+UNet instance in the compiled program) host-looped over the time grid, plus a
+jitted decode.  A fully fused ``lax.scan`` sampler exists in ``solvers/``
+(set ``BENCH_FUSED=1``), but this environment's remote-compile tunnel rejects
+the larger fused program; the per-step dispatch overhead is ~1ms against
+~100ms+ step times, so the figures are equivalent.
 """
 
 from __future__ import annotations
@@ -21,25 +29,22 @@ import time
 
 import jax
 
-# Persistent compilation cache: the 64³ sampler program is large and the
-# axon remote compile is slow — cache it across processes so repeat bench
-# runs start in seconds.
+# Persistent compilation cache: the 64³ UNet program is large and the axon
+# remote compile is slow — cache across processes so repeat runs start fast.
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import jax.numpy as jnp
 
-# Reference torch-CPU baseline on this host, samples/min at NFE=120
-# (measured 2026-08-16 via tools/measure_baseline.py: 16.64 s/forward at the
-# flagship config, 22.98M params => 0.0301 samples/min; see BASELINE.md).
-BASELINE_SAMPLES_PER_MIN = 0.0301
+BASELINE_SAMPLES_PER_MIN = 0.0301  # reference torch-CPU, NFE=120 (BASELINE.md)
 
-NFE = 120  # 16 frames × 2 substeps × 4 RK4 stages = (16-1)*2*4 = 120
 N_FRAMES = 16
 SUBSTEPS = 2
+NFE = (N_FRAMES - 1) * SUBSTEPS * 4  # = 120 RK4 stages
 BATCH = 4
 N_BATCHES = 3
+T0, TF = 0.001, 1.0
 
 
 def main() -> None:
@@ -48,7 +53,7 @@ def main() -> None:
         decode,
         simplex_embedding,
     )
-    from flowtrain_stochastic_interpolation_tpu.solvers import solve_ode
+    from flowtrain_stochastic_interpolation_tpu.solvers import solve_ode, _STEPPERS
     from flowtrain_stochastic_interpolation_tpu.train.loop import build_model
 
     config = unconditional_64()
@@ -65,30 +70,49 @@ def main() -> None:
     def velocity(x, t):
         return model.apply(variables, x, t)
 
-    @jax.jit
-    def sample(key):
-        x0 = jax.random.normal(key, (BATCH, *shape, e), jnp.float32)
-        traj = solve_ode(
-            velocity, x0, t0=0.001, tf=1.0, n_frames=N_FRAMES,
-            substeps=SUBSTEPS, method="rk4",
-        )
-        return decode(traj[-1], table)
+    if os.environ.get("BENCH_FUSED") == "1":
+        @jax.jit
+        def sample(key):
+            x0 = jax.random.normal(key, (BATCH, *shape, e), jnp.float32)
+            traj = solve_ode(velocity, x0, t0=T0, tf=TF, n_frames=N_FRAMES,
+                             substeps=SUBSTEPS, method="rk4")
+            return decode(traj[-1], table)
+
+        run = lambda k: sample(k)
+    else:
+        rk4 = _STEPPERS["rk4"][0]
+        h = (TF - T0) / ((N_FRAMES - 1) * SUBSTEPS)
+
+        @jax.jit
+        def step(x, t):
+            return rk4(velocity, x, t, jnp.asarray(h, jnp.float32))
+
+        @jax.jit
+        def init_noise(key):
+            return jax.random.normal(key, (BATCH, *shape, e), jnp.float32)
+
+        decode_j = jax.jit(lambda x: decode(x, table))
+
+        def run(key):
+            x = init_noise(key)
+            for i in range((N_FRAMES - 1) * SUBSTEPS):
+                x = step(x, jnp.asarray(T0 + i * h, jnp.float32))
+            return decode_j(x)
 
     # warmup / compile
-    sample(key).block_until_ready()
+    run(key).block_until_ready()
 
     t0 = time.perf_counter()
     for i in range(N_BATCHES):
-        sample(jax.random.fold_in(key, i)).block_until_ready()
+        run(jax.random.fold_in(key, i)).block_until_ready()
     elapsed = time.perf_counter() - t0
 
     samples_per_min = (N_BATCHES * BATCH) / elapsed * 60.0
-    vs = samples_per_min / BASELINE_SAMPLES_PER_MIN if BASELINE_SAMPLES_PER_MIN else None
     print(json.dumps({
         "metric": f"uncond_64cubed_samples_per_min_nfe{NFE}",
         "value": round(samples_per_min, 3),
         "unit": "samples/min",
-        "vs_baseline": round(vs, 3) if vs else None,
+        "vs_baseline": round(samples_per_min / BASELINE_SAMPLES_PER_MIN, 2),
     }))
 
 

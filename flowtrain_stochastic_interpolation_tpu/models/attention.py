@@ -32,6 +32,9 @@ Dtype = Any
 # Minimum token count for which the Pallas kernel beats the fused einsum path
 # (innermost 4^3=64 tokens never qualify; 16^3+ does).
 _FLASH_MIN_TOKENS = 1024
+# Pallas fused linear attention pays off once softmax(k) stops fitting in
+# cache-friendly sizes; 32^3 tokens and up.
+_FUSED_LINEAR_MIN_TOKENS = 32768
 
 
 class LinearAttention(nn.Module):
@@ -46,6 +49,7 @@ class LinearAttention(nn.Module):
     heads: int = 4
     dim_head: int = 32
     num_mem_kv: int = 4
+    fused: bool = True
     dtype: Dtype = None
 
     @nn.compact
@@ -71,13 +75,21 @@ class LinearAttention(nn.Module):
         k = jnp.concatenate([mk, k], axis=1)  # [B, N+m, h, d]
         v = jnp.concatenate([mv, v], axis=1)
 
-        # softmax over feature axis for q, token axis for k (ref :326-327)
-        q = nn.softmax(q, axis=-1) * (self.dim_head**-0.5)
-        k = nn.softmax(k, axis=1)
+        if self.fused and n >= _FUSED_LINEAR_MIN_TOKENS and self.dim_head % 8 == 0:
+            # Pallas fused path: softmax(k) never materialises in HBM
+            from flowtrain_stochastic_interpolation_tpu.ops.linear_attention import (
+                linear_attention,
+            )
 
-        # context[b,h,d,e] = sum_n k[b,n,h,d] v[b,n,h,e]  (MXU contraction)
-        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
-        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+            out = linear_attention(q, k, v)
+        else:
+            # softmax over feature axis for q, token axis for k (ref :326-327)
+            q = nn.softmax(q, axis=-1) * (self.dim_head**-0.5)
+            k = nn.softmax(k, axis=1)
+
+            # context[b,h,d,e] = sum_n k[b,n,h,d] v[b,n,h,e]  (MXU contraction)
+            context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+            out = jnp.einsum("bhde,bnhd->bnhe", context, q)
         out = out.reshape(b, *spatial, hidden)
 
         out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)

@@ -1,0 +1,191 @@
+"""Pallas fused linear attention (softmax-q · softmax-k factorisation).
+
+The reference's whole strategy for 64³ volumes is O(N) linear attention at
+every non-innermost UNet scale (``unet_attn_3d.py:284-341``; SURVEY.md §5
+"long-context"), leaving full attention only for 4³ tokens.  At N = 262,144
+tokens the op is HBM-bandwidth-bound: the naive composition materialises
+``softmax(k)`` (an [N, d] tensor) and two einsum intermediates in HBM.
+
+This kernel fuses the whole pipeline per (batch·head):
+
+* **context pass** — online-max streaming over key blocks accumulates the
+  normalised context ``C[d, e] = Σ_n softmax_N(k)[n, d] · v[n, e]`` in VMEM
+  (flash-attention-style rescaling, one read of k and v);
+* **projection pass** — ``out = (softmax_d(q) · scale) @ C`` per q block.
+
+``softmax(k)`` never touches HBM.  The custom VJP computes gradients with the
+closed-form linear-attention backward (all [d, e]-bottlenecked matmuls) in
+plain XLA — it reads q/k/v once more but allocates nothing N×N-sized.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _context_kernel(k_ref, v_ref, ctx_ref, m_scr, s_scr, ctx_scr, *,
+                    n_keys: int, block_k: int):
+    """Online softmax-over-N context accumulation: C = softmax_N(k)^T v."""
+    ki = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        s_scr[:] = jnp.zeros_like(s_scr)
+        ctx_scr[:] = jnp.zeros_like(ctx_scr)
+
+    k = k_ref[0].astype(jnp.float32)  # [bk, d]
+    v = v_ref[0].astype(jnp.float32)  # [bk, e]
+
+    row = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)
+    k = jnp.where(row < n_keys, k, _NEG_INF)  # pad rows contribute exp(-inf)=0
+
+    m_prev = m_scr[0]  # [d]
+    m_new = jnp.maximum(m_prev, jnp.max(k, axis=0))
+    alpha = jnp.exp(m_prev - m_new)  # [d]
+    p = jnp.exp(k - m_new[None, :])  # [bk, d]
+
+    s_scr[0] = s_scr[0] * alpha + jnp.sum(p, axis=0)
+    m_scr[0] = m_new
+    # ctx[d, e] += p^T v
+    ctx_scr[:] = ctx_scr[:] * alpha[:, None] + jax.lax.dot_general(
+        p, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        ctx_ref[0] = (ctx_scr[:] / s_scr[0][:, None]).astype(ctx_ref.dtype)
+
+
+def _project_kernel(q_ref, ctx_ref, o_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.float32)  # [bq, d]
+    p = jax.nn.softmax(q, axis=-1) * scale
+    ctx = ctx_ref[0].astype(jnp.float32)  # [d, e]
+    o_ref[0] = jax.lax.dot_general(
+        p, ctx, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _linear_attn_fwd_bhnd(q: Array, k: Array, v: Array,
+                          block_n: int) -> Array:
+    bh, n, d = q.shape
+    m = k.shape[1]
+    e = v.shape[2]
+    scale = d**-0.5
+
+    m_pad = _round_up(m, block_n)
+    n_pad = _round_up(n, block_n)
+    if m_pad != m:
+        k = jnp.pad(k, ((0, 0), (0, m_pad - m), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, m_pad - m), (0, 0)))
+    if n_pad != n:
+        q = jnp.pad(q, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    ctx = pl.pallas_call(
+        functools.partial(_context_kernel, n_keys=m, block_k=block_n),
+        grid=(bh, m_pad // block_n),
+        in_specs=[
+            pl.BlockSpec((1, block_n, d), lambda b, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_n, e), lambda b, ki: (b, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, d, e), lambda b, ki: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, d, e), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((d, e), jnp.float32),
+        ],
+    )(k, v)
+
+    out = pl.pallas_call(
+        functools.partial(_project_kernel, scale=scale),
+        grid=(bh, n_pad // block_n),
+        in_specs=[
+            pl.BlockSpec((1, block_n, d), lambda b, qi: (b, qi, 0)),
+            pl.BlockSpec((1, d, e), lambda b, qi: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_n, e), lambda b, qi: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, e), q.dtype),
+    )(q, ctx)
+    return out[:, :n]
+
+
+def _reference_bhnd(q: Array, k: Array, v: Array) -> Array:
+    """XLA reference on [BH, N/M, d] tensors (matches reference einsums)."""
+    scale = q.shape[-1] ** -0.5
+    qs = jax.nn.softmax(q.astype(jnp.float32), axis=-1) * scale
+    ks = jax.nn.softmax(k.astype(jnp.float32), axis=1)
+    ctx = jnp.einsum("bnd,bne->bde", ks, v.astype(jnp.float32))
+    return jnp.einsum("bnd,bde->bne", qs, ctx).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _linear_attn_bhnd(q, k, v, block_n: int):
+    return _linear_attn_fwd_bhnd(q, k, v, block_n)
+
+
+def _fwd(q, k, v, block_n):
+    return _linear_attn_fwd_bhnd(q, k, v, block_n), (q, k, v)
+
+
+def _bwd(block_n, res, dout):
+    """Closed-form backward; every intermediate is [d, e]-bottlenecked."""
+    q, k, v = res
+    f32 = jnp.float32
+    scale = q.shape[-1] ** -0.5
+    qf, kf, vf, do = (t.astype(f32) for t in (q, k, v, dout))
+
+    p_q = jax.nn.softmax(qf, axis=-1)          # [b, n, d]
+    p_k = jax.nn.softmax(kf, axis=1)           # [b, m, d]
+    ctx = jnp.einsum("bmd,bme->bde", p_k, vf)  # [b, d, e]
+
+    # out = scale * p_q @ ctx
+    d_ctx = scale * jnp.einsum("bnd,bne->bde", p_q, do)
+    d_pq = scale * jnp.einsum("bne,bde->bnd", do, ctx)
+    dq = p_q * (d_pq - jnp.sum(d_pq * p_q, axis=-1, keepdims=True))
+
+    dv = jnp.einsum("bmd,bde->bme", p_k, d_ctx)
+    d_pk = jnp.einsum("bme,bde->bmd", vf, d_ctx)
+    dk = p_k * (d_pk - jnp.sum(d_pk * p_k, axis=1, keepdims=True))
+
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_linear_attn_bhnd.defvjp(_fwd, _bwd)
+
+
+def linear_attention(q: Array, k: Array, v: Array, *, block_n: int = 1024) -> Array:
+    """Fused linear attention on ``[B, N, h, d]`` q and ``[B, M, h, d]`` k/v.
+
+    Semantics match the reference (``unet_attn_3d.py:308-341``): q softmaxed
+    over features and scaled by d^-0.5, k softmaxed over tokens, context
+    ``k^T v`` applied to q.  Returns ``[B, N, h, d]``.
+    """
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    to_bhnd = lambda t: t.transpose(0, 2, 1, 3).reshape(b * h, t.shape[1], d)
+    block_n = min(block_n, _round_up(max(n, m), 128))
+    out = _linear_attn_bhnd(to_bhnd(q), to_bhnd(k), to_bhnd(v), block_n)
+    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+
+
+def linear_attention_reference(q: Array, k: Array, v: Array) -> Array:
+    """Unfused XLA reference in the same [B, N, h, d] layout (for tests)."""
+    b, n, h, d = q.shape
+    to_bhnd = lambda t: t.transpose(0, 2, 1, 3).reshape(b * h, t.shape[1], d)
+    out = _reference_bhnd(to_bhnd(q), to_bhnd(k), to_bhnd(v))
+    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
