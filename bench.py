@@ -117,4 +117,13 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # a stale compile cache can FailedPrecondition
+        import shutil
+        import sys
+
+        print(f"bench attempt failed ({type(exc).__name__}); clearing compile "
+              f"cache and retrying once", file=sys.stderr)
+        shutil.rmtree(_CACHE_DIR, ignore_errors=True)
+        main()
