@@ -148,9 +148,18 @@ def main():
 
     if args.mode in ("train", "both"):
         writer = MetricsWriter(dirs["metrics_dir"])
+        from flowtrain_stochastic_interpolation_tpu.train.callbacks import (
+            InferenceCallback,
+        )
+
+        callback = InferenceCallback(
+            config, build_model(config), dirs["photo_dir"],
+            every_n_epochs=config.training.inference_every_epochs,
+        )
         result = train(
             config, num_steps=args.steps,
             checkpoint_dir=dirs["checkpoint_dir"], writer=writer,
+            callback=callback,
         )
         writer.close()
         print(f"training: {result.steps_per_sec:.3f} steps/s, "

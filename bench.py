@@ -42,8 +42,8 @@ BASELINE_SAMPLES_PER_MIN = 0.0301  # reference torch-CPU, NFE=120 (BASELINE.md)
 N_FRAMES = 16
 SUBSTEPS = 2
 NFE = (N_FRAMES - 1) * SUBSTEPS * 4  # = 120 RK4 stages
-BATCH = 4
-N_BATCHES = 3
+BATCH = 8
+N_BATCHES = 2
 T0, TF = 0.001, 1.0
 
 

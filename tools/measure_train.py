@@ -1,0 +1,86 @@
+"""Measure flagship training throughput (steps/sec) on the available accelerator.
+
+Driver metric #2 (BASELINE.md): train steps/sec at batch=8 for the flagship
+64³ configs.  Runs the real jitted train step (loss + grad + optax + EMA)
+on synthetic on-device data.  ``--conditional`` switches to the conditional
+recipe (masked losses + ATb pathway).
+
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import dataclasses
+
+import jax.numpy as jnp
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--conditional", action="store_true")
+    p.add_argument("--remat", action="store_true")
+    args = p.parse_args()
+
+    from flowtrain_stochastic_interpolation_tpu.config import (
+        conditional_64,
+        unconditional_64,
+    )
+    from flowtrain_stochastic_interpolation_tpu.data.synthetic import (
+        synthetic_geology_batch,
+    )
+    from flowtrain_stochastic_interpolation_tpu.train.loop import init_train_state
+    from flowtrain_stochastic_interpolation_tpu.train.steps import make_train_step
+
+    config = conditional_64() if args.conditional else unconditional_64()
+    config = dataclasses.replace(
+        config,
+        data=dataclasses.replace(config.data, batch_size=args.batch_size),
+        training=dataclasses.replace(
+            config.training, accumulate_grad_batches=1, remat=args.remat
+        ),
+    )
+
+    model, tx, state = init_train_state(config)
+    train_step = make_train_step(model, tx, config)
+    batch = synthetic_geology_batch(
+        jax.random.PRNGKey(0), args.batch_size, config.data.shape
+    )
+    key = jax.random.PRNGKey(1)
+
+    t_compile = time.perf_counter()
+    state, metrics = train_step(state, batch, key)
+    jax.block_until_ready(metrics["train_loss"])
+    compile_s = time.perf_counter() - t_compile
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = train_step(state, batch, key)
+    jax.block_until_ready(metrics["train_loss"])
+    dt = (time.perf_counter() - t0) / args.steps
+
+    print(json.dumps({
+        "metric": ("cond" if args.conditional else "uncond")
+                  + f"_64cubed_train_steps_per_sec_b{args.batch_size}",
+        "value": round(1.0 / dt, 4),
+        "unit": "steps/sec",
+        "step_ms": round(dt * 1000, 1),
+        "compile_s": round(compile_s, 1),
+        "loss": round(float(metrics["train_loss"]), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
