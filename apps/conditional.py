@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-from flowtrain_stochastic_interpolation_tpu.config import conditional_64
+from flowtrain_stochastic_interpolation_tpu.config import conditional_64, tiny_test
 from flowtrain_stochastic_interpolation_tpu.train.loop import train
 from flowtrain_stochastic_interpolation_tpu.utils.logging import MetricsWriter
 
@@ -39,9 +39,10 @@ def main():
     p.add_argument("--steps", type=int, default=None, help="cap training steps")
     p.add_argument("--root-dir", type=str, default=os.path.dirname(os.path.abspath(__file__)))
     p.add_argument("--use-wandb", action="store_true")
+    p.add_argument("--preset", choices=["flagship", "tiny"], default="flagship")
     args = p.parse_args()
 
-    config = conditional_64()
+    config = conditional_64() if args.preset == "flagship" else tiny_test(conditional=True)
     dirs = setup_directories(args.root_dir, config.name)
     print(f"devices={jax.devices()}")
 

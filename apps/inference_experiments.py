@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flowtrain_stochastic_interpolation_tpu.config import conditional_64
+from flowtrain_stochastic_interpolation_tpu.config import conditional_64, tiny_test
 from flowtrain_stochastic_interpolation_tpu.data.geogen import get_dataset
 from flowtrain_stochastic_interpolation_tpu.inference import (
     build_atb,
@@ -151,12 +151,13 @@ def main():
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--use-ema", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--checkpoint-path", type=str, default=None)
+    p.add_argument("--preset", choices=["flagship", "tiny"], default="flagship")
     p.add_argument("--save-dir", type=str,
                    default=os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                         "cond_experiments"))
     args = p.parse_args()
 
-    config = conditional_64()
+    config = conditional_64() if args.preset == "flagship" else tiny_test(conditional=True)
     os.makedirs(args.save_dir, exist_ok=True)
 
     if args.stage in ("create-data", "all"):

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flowtrain_stochastic_interpolation_tpu.config import unconditional_64
+from flowtrain_stochastic_interpolation_tpu.config import tiny_test, unconditional_64
 from flowtrain_stochastic_interpolation_tpu.inference import sample_unconditional
 from flowtrain_stochastic_interpolation_tpu.ops.embedding import simplex_embedding
 from flowtrain_stochastic_interpolation_tpu.train.checkpoint import CheckpointManager
@@ -137,12 +137,14 @@ def parse_arguments():
     p.add_argument("--save-images", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--save-trajectories", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--root-dir", type=str, default=os.path.dirname(os.path.abspath(__file__)))
+    p.add_argument("--preset", choices=["flagship", "tiny"], default="flagship",
+                   help="tiny = 8^3 smoke config for CI/CPU")
     return p.parse_args()
 
 
 def main():
     args = parse_arguments()
-    config = unconditional_64()
+    config = unconditional_64() if args.preset == "flagship" else tiny_test()
     dirs = setup_directories(args.root_dir, config.name)
     print(f"mode={args.mode} devices={jax.devices()}")
 

@@ -97,14 +97,18 @@ def main() -> None:
             x = init_noise(key)
             for i in range((N_FRAMES - 1) * SUBSTEPS):
                 x = step(x, jnp.asarray(T0 + i * h, jnp.float32))
-            return decode_j(x)
+            decoded = decode_j(x)
+            # scalar device->host read = true completion fence on the axon
+            # tunnel platform (block_until_ready can return early there)
+            int(decoded.sum())
+            return decoded
 
     # warmup / compile
-    run(key).block_until_ready()
+    run(key)
 
     t0 = time.perf_counter()
     for i in range(N_BATCHES):
-        run(jax.random.fold_in(key, i)).block_until_ready()
+        run(jax.random.fold_in(key, i))
     elapsed = time.perf_counter() - t0
 
     samples_per_min = (N_BATCHES * BATCH) / elapsed * 60.0

@@ -172,6 +172,28 @@ def unconditional_64(**overrides) -> ExperimentConfig:
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
 
+def tiny_test(conditional: bool = False, **overrides) -> ExperimentConfig:
+    """8³ smoke preset for CI / CPU end-to-end runs of the apps."""
+    cfg = ExperimentConfig(
+        name="tiny-smoke-cond" if conditional else "tiny-smoke",
+        model=ModelConfig(
+            dim=8, dim_mults=(1, 2), data_channels=15, dropout=0.0,
+            time_resolution=16, time_bandwidth=10.0, time_learned_emb=True,
+            attn_dim_head=4, attn_heads=2, conditional=conditional,
+            dtype="float32",
+        ),
+        data=DataConfig(shape=(8, 8, 8), batch_size=4, epoch_size=32, embedding_dim=15),
+        training=TrainingConfig(
+            learning_rate=2e-3, accumulate_grad_batches=1, log_every_n_steps=1,
+            time_range=(0.001, 0.999), checkpoint_every_steps=50,
+        ),
+        ema=EMAConfig(enabled=True, decay=0.99),
+        inference=InferenceConfig(n_frames=4, substeps=1, method="euler",
+                                  n_samples=2, batch_size=2),
+    )
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
 def conditional_64(**overrides) -> ExperimentConfig:
     """Reference conditional recipe (``model_train_sh_inference_cond.py:59-128``)."""
     cfg = ExperimentConfig(
