@@ -237,11 +237,18 @@ def convert_unet3d_cond(
     time_sin_pos: bool = False,
     time_learned_emb: bool = True,
     src_prefix: str = "",
+    variant: str = "v3",
 ) -> Dict[str, Any]:
-    """Torch ``Unet3DCond`` (v3) state dict -> flax params dict.
+    """Torch ``Unet3DCond`` state dict -> flax params dict.
 
-    Stage ModuleLists are [EmbedATb, MixATb, res1, res2, attn, resample]
-    (``cond_v3:696-711,742-757``).
+    Stage ModuleList layouts per variant:
+      * v3: [EmbedATb, MixATb, res1, res2, attn, resample] both paths
+        (``cond_v3:696-711,742-757``);
+      * v2: [EmbedMixATb, res1, res2, attn, resample] both paths
+        (``cond_v2:735-747``) — the combined module's embed_/mix_ convs map
+        onto this framework's split EmbedATb + MixATb(no norm, no FiLM);
+      * v1: downs [EmbedATb, res1, res2, attn, resample] (``cond_v1:653-667``),
+        ups without conditioning (``cond_v1:698-712``).
     """
     m = _Mapper(sd, src_prefix)
     fa = _resolve_full_attn(full_attn, n_stages)
@@ -250,17 +257,34 @@ def convert_unet3d_cond(
     m.conv("init_conv_x", "init_conv_x")
     m.time_mlp("time_mlp", "time_mlp", sin_pos=time_sin_pos, learned=time_learned_emb)
 
+    def fuse_modules(path_prefix: str, dst_prefix: str) -> int:
+        """Map the stage's conditioning modules; returns the index offset of
+        the first resnet block in the torch ModuleList."""
+        if variant == "v3":
+            m.embed_atb(f"{path_prefix}.0", f"{dst_prefix}_atb_embed")
+            m.mix_atb(f"{path_prefix}.1", f"{dst_prefix}_atb_mix")
+            return 2
+        if variant == "v2":
+            m.conv(f"{path_prefix}.0.embed_conv1", f"{dst_prefix}_atb_embed/conv1")
+            m.conv(f"{path_prefix}.0.embed_conv2", f"{dst_prefix}_atb_embed/conv2")
+            m.conv(f"{path_prefix}.0.mix_conv1", f"{dst_prefix}_atb_mix/conv1")
+            m.conv(f"{path_prefix}.0.mix_conv2", f"{dst_prefix}_atb_mix/conv2")
+            return 1
+        # v1: additive embed, downs only
+        m.embed_atb(f"{path_prefix}.0", f"{dst_prefix}_atb_embed")
+        return 1
+
     for i in range(n_stages):
-        m.embed_atb(f"downs.{i}.0", f"downs_{i}_atb_embed")
-        m.mix_atb(f"downs.{i}.1", f"downs_{i}_atb_mix")
-        m.resnet(f"downs.{i}.2", f"downs_{i}_block1")
-        m.resnet(f"downs.{i}.3", f"downs_{i}_block2")
+        off = fuse_modules(f"downs.{i}", f"downs_{i}")
+        m.resnet(f"downs.{i}.{off}", f"downs_{i}_block1")
+        m.resnet(f"downs.{i}.{off + 1}", f"downs_{i}_block2")
         if attn_enabled:
-            m.attn(f"downs.{i}.4", f"downs_{i}_attn", fa[i])
+            m.attn(f"downs.{i}.{off + 2}", f"downs_{i}_attn", fa[i])
+        rs = off + 3
         if i >= n_stages - 1:
-            m.conv(f"downs.{i}.5", f"downs_{i}_downsample")
+            m.conv(f"downs.{i}.{rs}", f"downs_{i}_downsample")
         else:
-            m.conv(f"downs.{i}.5.conv", f"downs_{i}_downsample/conv", dense=True)
+            m.conv(f"downs.{i}.{rs}.conv", f"downs_{i}_downsample/conv", dense=True)
 
     m.resnet("mid_block1", "mid_block1")
     if attn_enabled:
@@ -269,16 +293,19 @@ def convert_unet3d_cond(
 
     fa_r = fa[::-1]
     for i in range(n_stages):
-        m.embed_atb(f"ups.{i}.0", f"ups_{i}_atb_embed")
-        m.mix_atb(f"ups.{i}.1", f"ups_{i}_atb_mix")
-        m.resnet(f"ups.{i}.2", f"ups_{i}_block1")
-        m.resnet(f"ups.{i}.3", f"ups_{i}_block2")
-        if attn_enabled:
-            m.attn(f"ups.{i}.4", f"ups_{i}_attn", fa_r[i])
-        if i == n_stages - 1:
-            m.conv(f"ups.{i}.5", f"ups_{i}_upsample")
+        if variant == "v1":
+            off = 0  # no conditioning modules on the up path
         else:
-            m.conv(f"ups.{i}.5.conv", f"ups_{i}_upsample/conv")
+            off = fuse_modules(f"ups.{i}", f"ups_{i}")
+        m.resnet(f"ups.{i}.{off}", f"ups_{i}_block1")
+        m.resnet(f"ups.{i}.{off + 1}", f"ups_{i}_block2")
+        if attn_enabled:
+            m.attn(f"ups.{i}.{off + 2}", f"ups_{i}_attn", fa_r[i])
+        rs = off + 3
+        if i == n_stages - 1:
+            m.conv(f"ups.{i}.{rs}", f"ups_{i}_upsample")
+        else:
+            m.conv(f"ups.{i}.{rs}.conv", f"ups_{i}_upsample/conv")
 
     m.resnet("final_res_block", "final_res_block")
     m.conv("final_conv", "final_conv", dense=True)

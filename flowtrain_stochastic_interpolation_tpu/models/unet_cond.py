@@ -74,11 +74,13 @@ class MixATb(nn.Module):
     v3 semantics (``cond_v3:142-190``): ``cat(x, ATb)`` is FiLMed by a time
     MLP (SiLU → Dense(4·dim) → chunk into scale/shift over the 2·dim concat),
     then conv3 → RMSNorm → SiLU → conv3, plus the ``x`` residual.
-    ``time_film=False`` gives the v2 behaviour (no FiLM).
+    ``time_film=False, use_norm=False`` gives the v2 mix
+    (``unet_attn_3d_cond_v2.py:200-229``: conv3 → SiLU → conv3 + residual).
     """
 
     dim: int
     time_film: bool = True
+    use_norm: bool = True
     dtype: Dtype = None
 
     @nn.compact
@@ -91,7 +93,8 @@ class MixATb(nn.Module):
             scale, shift = jnp.split(tv, 2, axis=-1)
             h = h * (scale + 1.0) + shift
         h = conv_nd(3, self.dim, 3, dtype=self.dtype, name="conv1")(h)
-        h = RMSNorm(self.dim, dtype=self.dtype, name="norm")(h)
+        if self.use_norm:
+            h = RMSNorm(self.dim, dtype=self.dtype, name="norm")(h)
         h = nn.silu(h)
         h = conv_nd(3, self.dim, 3, dtype=self.dtype, name="conv2")(h)
         return h + x
@@ -199,7 +202,8 @@ class UNet3DCond(nn.Module):
             if self.variant == "v1":
                 return x + atb_scaled  # additive (cond v1 forward :744-747)
             return MixATb(
-                dim, time_film=mix_time_film, dtype=self.dtype, name=f"{name}_mix"
+                dim, time_film=mix_time_film, use_norm=self.variant == "v3",
+                dtype=self.dtype, name=f"{name}_mix",
             )(x, atb_scaled, t)
 
         skips = []

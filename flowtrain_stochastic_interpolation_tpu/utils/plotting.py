@@ -180,6 +180,57 @@ def plot_prominence_maps(
     return fig
 
 
+def show_solutions(solutions, save_path: Optional[str] = None, axis: int = 2):
+    """Grid of ensemble solutions, mid-slice each (reference
+    ``model_inference_experiments.py:320-340`` viewer)."""
+    plt = _mpl()
+    sols = np.asarray(solutions)
+    n = sols.shape[0]
+    cols = min(n, 3)
+    rows = math.ceil(n / cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(3 * cols, 3 * rows))
+    axes = np.atleast_1d(axes).reshape(-1)
+    vmin, vmax = sols.min(), sols.max()
+    for i, ax in enumerate(axes):
+        ax.axis("off")
+        if i < n:
+            sl = np.take(sols[i], sols[i].shape[axis] // 2, axis=axis)
+            ax.imshow(sl, cmap="tab20", vmin=vmin, vmax=vmax, interpolation="nearest")
+            ax.set_title(f"solution {i}", fontsize=8)
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return None
+    return fig
+
+
+def show_model_and_boreholes(true_model, boreholes, save_path: Optional[str] = None):
+    """Truth next to its sparse observations (reference
+    ``show_model_and_boreholes``, ``model_inference_experiments.py:343-352``)."""
+    plt = _mpl()
+    true_model = np.asarray(true_model)
+    boreholes = np.asarray(boreholes)
+    fig, axes = plt.subplots(2, 3, figsize=(10, 7))
+    vmin, vmax = true_model.min(), true_model.max()
+    for j, axis in enumerate((0, 1, 2)):
+        mid = true_model.shape[axis] // 2
+        axes[0, j].imshow(np.take(true_model, mid, axis=axis), cmap="tab20",
+                          vmin=vmin, vmax=vmax, interpolation="nearest")
+        axes[0, j].set_title(f"true, mid-{'XYZ'[axis]}", fontsize=8)
+        # observed voxels only (unobserved = -1 sentinel shown as background)
+        obs = np.take(boreholes, mid, axis=axis).astype(float)
+        obs[obs == -1] = np.nan
+        axes[1, j].imshow(obs, cmap="tab20", vmin=vmin, vmax=vmax,
+                          interpolation="nearest")
+        axes[1, j].set_title("observations", fontsize=8)
+        axes[0, j].axis("off"); axes[1, j].axis("off")
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return None
+    return fig
+
+
 def plot_trajectories(trajectory: np.ndarray, save_path: Optional[str] = None):
     """2D ODE trajectories [T, N, 2] (reference ``plot_trajectories`` :229-264)."""
     plt = _mpl()

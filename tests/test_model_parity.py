@@ -122,6 +122,50 @@ def test_unet3d_cond_v3_forward_parity():
 
 
 @torch.no_grad()
+def test_unet3d_cond_v1_forward_parity():
+    TorchUnet3DCondV1 = _load_ref('unet_attn_3d_cond').Unet3DCond
+
+    torch.manual_seed(4)
+    ref = TorchUnet3DCondV1(**TINY).eval()
+    params = convert_unet3d_cond(
+        ref.state_dict(), n_stages=2, full_attn=None,
+        time_learned_emb=True, time_sin_pos=False, variant="v1",
+    )
+    model = UNet3DCond(**TINY, variant="v1")
+    x_t = torch.randn(2, 4, 8, 8, 8)
+    atb_t = torch.randn(2, 4, 8, 8, 8)
+    t_t = torch.tensor([0.1, 0.8])
+    y_ref = _from_ref_nd(ref(x_t, atb_t, t_t), 3)
+    y = model.apply(
+        {"params": params}, _to_jax_nd(x_t, 3), _to_jax_nd(atb_t, 3),
+        jnp.asarray(t_t.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-3, atol=2e-4)
+
+
+@torch.no_grad()
+def test_unet3d_cond_v2_forward_parity():
+    TorchUnet3DCondV2 = _load_ref('unet_attn_3d_cond_v2').Unet3DCond
+
+    torch.manual_seed(5)
+    ref = TorchUnet3DCondV2(**TINY).eval()
+    params = convert_unet3d_cond(
+        ref.state_dict(), n_stages=2, full_attn=None,
+        time_learned_emb=True, time_sin_pos=False, variant="v2",
+    )
+    model = UNet3DCond(**TINY, variant="v2")
+    x_t = torch.randn(2, 4, 8, 8, 8)
+    atb_t = torch.randn(2, 4, 8, 8, 8)
+    t_t = torch.tensor([0.45, 0.55])
+    y_ref = _from_ref_nd(ref(x_t, atb_t, t_t), 3)
+    y = model.apply(
+        {"params": params}, _to_jax_nd(x_t, 3), _to_jax_nd(atb_t, 3),
+        jnp.asarray(t_t.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-3, atol=2e-4)
+
+
+@torch.no_grad()
 def test_unet2d_forward_parity():
     TorchUnet2D = _load_ref('unet_2d').Unet2D
 
