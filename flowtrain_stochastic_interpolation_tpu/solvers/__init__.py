@@ -25,7 +25,6 @@ convention (frame 0 is ``x0``).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
