@@ -45,6 +45,12 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
     k = k_ref[0].astype(jnp.float32)  # [bk, D]
     v = v_ref[0].astype(jnp.float32)
 
+    # OOB tail reads are undefined (possibly NaN): sanitise k/v rows so the
+    # masked-out columns cannot poison the accumulation
+    krow = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)
+    k = jnp.where(krow < n_keys, k, 0.0)
+    v = jnp.where(krow < n_keys, v, 0.0)
+
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [bq, bk]
@@ -82,15 +88,9 @@ def _flash_fwd_bhnd(q: Array, k: Array, v: Array,
     m = k.shape[1]
     scale = d**-0.5
 
-    n_pad = _round_up(n, block_q)
-    m_pad = _round_up(m, block_k)
-    if n_pad != n:
-        q = jnp.pad(q, ((0, 0), (0, n_pad - n), (0, 0)))
-    if m_pad != m:
-        k = jnp.pad(k, ((0, 0), (0, m_pad - m), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, m_pad - m), (0, 0)))
-
-    grid = (bh, n_pad // block_q, m_pad // block_k)
+    # no physical padding: ragged tails are masked in-kernel (see the
+    # linear-attention kernel for the HBM-copy rationale)
+    grid = (bh, pl.cdiv(n, block_q), pl.cdiv(m, block_k))
     kernel = functools.partial(
         _fa_kernel, scale=scale, n_keys=m, block_k=block_k
     )
@@ -107,8 +107,8 @@ def _flash_fwd_bhnd(q: Array, k: Array, v: Array,
             pl.BlockSpec((1, block_q), lambda b, qi, ki: (b, qi)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -116,7 +116,7 @@ def _flash_fwd_bhnd(q: Array, k: Array, v: Array,
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
     )(q, k, v)
-    return out[:, :n], lse[:, :n]
+    return out, lse
 
 
 def _bwd_blockwise(q, k, v, out, lse, dout, block_q: int):

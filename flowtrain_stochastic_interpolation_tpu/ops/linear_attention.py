@@ -49,6 +49,10 @@ def _context_kernel(k_ref, v_ref, ctx_ref, m_scr, s_scr, ctx_scr, *,
 
     row = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)
     k = jnp.where(row < n_keys, k, _NEG_INF)  # pad rows contribute exp(-inf)=0
+    # OOB tail reads are undefined (possibly NaN): zero v so 0-weight rows
+    # cannot poison the accumulation
+    v_row = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    v = jnp.where(v_row < n_keys, v, 0.0)
 
     m_prev = m_scr[0]  # [d]
     m_new = jnp.maximum(m_prev, jnp.max(k, axis=0))
@@ -87,17 +91,14 @@ def _linear_attn_fwd_bhnd(q: Array, k: Array, v: Array,
     e = v.shape[2]
     scale = d**-0.5
 
-    m_pad = _round_up(m, block_n)
-    n_pad = _round_up(n, block_n)
-    if m_pad != m:
-        k = jnp.pad(k, ((0, 0), (0, m_pad - m), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, m_pad - m), (0, 0)))
-    if n_pad != n:
-        q = jnp.pad(q, ((0, 0), (0, n_pad - n), (0, 0)))
-
+    # NOTE: no physical padding — ragged tails are handled by pallas' block
+    # bounds (OOB reads are masked via the n_keys row test in the kernel; OOB
+    # output rows are dropped).  An explicit jnp.pad here would materialise a
+    # full padded copy of the 262k-token tensors in HBM (observed: 2 GB HLO
+    # temps at 64³ batch 8).
     ctx = pl.pallas_call(
         functools.partial(_context_kernel, n_keys=m, block_k=block_n),
-        grid=(bh, m_pad // block_n),
+        grid=(bh, pl.cdiv(m, block_n)),
         in_specs=[
             pl.BlockSpec((1, block_n, d), lambda b, ki: (b, ki, 0)),
             pl.BlockSpec((1, block_n, e), lambda b, ki: (b, ki, 0)),
@@ -113,15 +114,15 @@ def _linear_attn_fwd_bhnd(q: Array, k: Array, v: Array,
 
     out = pl.pallas_call(
         functools.partial(_project_kernel, scale=scale),
-        grid=(bh, n_pad // block_n),
+        grid=(bh, pl.cdiv(n, block_n)),
         in_specs=[
             pl.BlockSpec((1, block_n, d), lambda b, qi: (b, qi, 0)),
             pl.BlockSpec((1, d, e), lambda b, qi: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_n, e), lambda b, qi: (b, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, e), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, n, e), q.dtype),
     )(q, ctx)
-    return out[:, :n]
+    return out
 
 
 def _reference_bhnd(q: Array, k: Array, v: Array) -> Array:
