@@ -32,8 +32,13 @@ Dtype = Any
 # Minimum token count for which the Pallas kernel beats the fused einsum path
 # (innermost 4^3=64 tokens never qualify; 16^3+ does).
 _FLASH_MIN_TOKENS = 1024
-# Pallas fused linear attention pays off once softmax(k) stops fitting in
-# cache-friendly sizes; 32^3 tokens and up.
+# Pallas fused linear attention threshold.  Measured on TPU v5e at the
+# flagship config (64³ = 262k tokens, d=32, batch 8): the XLA einsum
+# composition runs an RK4 step in 1305 ms vs 1560 ms for the Pallas kernel —
+# the d=32 lane underfill and sequential context grid cost more than the
+# avoided softmax(k) HBM round-trip.  The kernel therefore defaults OFF
+# (module flag `fused=False`); revisit with a head-folded layout in a later
+# round.
 _FUSED_LINEAR_MIN_TOKENS = 32768
 
 
@@ -49,7 +54,7 @@ class LinearAttention(nn.Module):
     heads: int = 4
     dim_head: int = 32
     num_mem_kv: int = 4
-    fused: bool = True
+    fused: bool = False  # Pallas kernel measured slower at d=32; see above
     dtype: Dtype = None
 
     @nn.compact
