@@ -1,0 +1,73 @@
+"""Generate samples from a trained orbax checkpoint (demo follow-up)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", default="/root/repo/artifacts/train_demo/ckpt")
+    p.add_argument("--out", default="/root/repo/artifacts/train_demo")
+    p.add_argument("--n-samples", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=8)
+    args = p.parse_args()
+
+    from flowtrain_stochastic_interpolation_tpu.inference import sample_unconditional
+    from flowtrain_stochastic_interpolation_tpu.train.checkpoint import CheckpointManager
+    from flowtrain_stochastic_interpolation_tpu.train.loop import (
+        build_model,
+        init_train_state,
+    )
+
+    mgr = CheckpointManager(args.ckpt, None)
+    config = mgr.load_config()
+    assert config is not None, "checkpoint dir has no config.json"
+    model, _, state = init_train_state(config)
+    state = mgr.restore(state)
+    print(f"restored step {int(state.step)}")
+
+    variables = {"params": state.params}
+    if state.constants.get("model"):
+        variables["constants"] = state.constants["model"]
+    result = sample_unconditional(
+        model, variables, state.constants["embedding"],
+        n_samples=args.n_samples, batch_size=args.batch_size,
+        data_shape=config.data.shape, embedding_dim=config.data.embedding_dim,
+        seed=100, t0=0.001, tf=1.0, n_frames=16, substeps=2, method="rk4",
+        with_prominence=True, verbose=True,
+    )
+    dec = result.decoded - 1
+    for i in range(min(4, dec.shape[0])):
+        np.save(os.path.join(args.out, f"sample_{i}.npy"), dec[i].astype(np.int8))
+    try:
+        from flowtrain_stochastic_interpolation_tpu.utils.plotting import plot_2d_slices
+        plot_2d_slices(dec[0], save_path=os.path.join(args.out, "sample_0_slices.png"))
+    except Exception as exc:
+        print("plot failed:", exc)
+
+    print(json.dumps({
+        "air_frac_top": round(float((dec[..., -8:] == -1).mean()), 3),
+        "air_frac_bottom": round(float((dec[..., :8] == -1).mean()), 3),
+        "n_categories_used": int(len(np.unique(dec))),
+        "prominence_mean": round(float(result.prominence.mean()), 4),
+        "seconds_per_batch": [round(s, 2) for s in result.seconds_per_batch],
+    }))
+
+
+if __name__ == "__main__":
+    main()
