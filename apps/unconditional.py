@@ -139,7 +139,29 @@ def parse_arguments():
     p.add_argument("--root-dir", type=str, default=os.path.dirname(os.path.abspath(__file__)))
     p.add_argument("--preset", choices=["flagship", "tiny"], default="flagship",
                    help="tiny = 8^3 smoke config for CI/CPU")
+    p.add_argument("--train-devices", type=str, default="auto",
+                   help="'cpu', 'auto' (all devices), or a count/comma list "
+                        "like '0,1' (reference --train-devices parity)")
     return p.parse_args()
+
+
+def resolve_devices(spec: str):
+    """Reference ``_parse_devices_arg`` analogue (``model_train_inference.py:129-171``):
+    'cpu' forces the CPU platform, 'auto' uses every visible device, and a
+    comma list/index selects that many mesh devices."""
+    import jax as _jax
+
+    s = (spec or "auto").strip().lower()
+    if s == "cpu":
+        _jax.config.update("jax_platforms", "cpu")
+        return _jax.devices()
+    devices = _jax.devices()
+    if s == "auto":
+        return devices
+    idxs = [int(x) for x in s.split(",")]
+    if max(idxs) >= len(devices):
+        raise ValueError(f"device indices {idxs} out of range for {len(devices)} devices")
+    return [devices[i] for i in idxs]
 
 
 def main():
@@ -149,17 +171,19 @@ def main():
     print(f"mode={args.mode} devices={jax.devices()}")
 
     if args.mode in ("train", "both"):
-        writer = MetricsWriter(dirs["metrics_dir"])
+        from flowtrain_stochastic_interpolation_tpu.parallel import create_mesh
         from flowtrain_stochastic_interpolation_tpu.train.callbacks import (
             InferenceCallback,
         )
 
+        mesh = create_mesh(devices=resolve_devices(args.train_devices))
+        writer = MetricsWriter(dirs["metrics_dir"])
         callback = InferenceCallback(
             config, build_model(config), dirs["photo_dir"],
             every_n_epochs=config.training.inference_every_epochs,
         )
         result = train(
-            config, num_steps=args.steps,
+            config, num_steps=args.steps, mesh=mesh,
             checkpoint_dir=dirs["checkpoint_dir"], writer=writer,
             callback=callback,
         )
