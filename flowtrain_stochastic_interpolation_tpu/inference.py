@@ -99,7 +99,12 @@ def make_sampler(
         return out
 
     if conditional:
-        return jax.jit(lambda x0: run(x0, atb))
+        # ATb must be a runtime argument: a closed-over concrete array would
+        # be baked into the compiled program as a (batch×64³×E ≈ 100 MB)
+        # constant — bloating the executable and, in this environment,
+        # exceeding the remote-compile request size limit.
+        jitted = jax.jit(run)
+        return lambda x0: jitted(x0, atb)
     return jax.jit(run)
 
 
