@@ -46,10 +46,18 @@ def main():
     dirs = setup_directories(args.root_dir, config.name)
     print(f"devices={jax.devices()}")
 
+    from flowtrain_stochastic_interpolation_tpu.train.callbacks import InferenceCallback
+    from flowtrain_stochastic_interpolation_tpu.train.loop import build_model
+
     writer = MetricsWriter(dirs["metrics_dir"], project=config.name, use_wandb=args.use_wandb)
+    callback = InferenceCallback(
+        config, build_model(config), dirs["photo_dir"],
+        every_n_epochs=config.training.inference_every_epochs, writer=writer,
+    )
     result = train(
         config, num_steps=args.steps,
         checkpoint_dir=dirs["checkpoint_dir"], writer=writer,
+        callback=callback,
     )
     writer.close()
     print(

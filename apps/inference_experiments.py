@@ -57,9 +57,26 @@ def create_cond_data(save_dir: str, n_scenarios: int, config, seed: int = 0) -> 
         print(f"scenario {s}: observed {float(mask.mean()):.3%} of voxels")
 
 
-def load_model_with_ema_option(config, checkpoint_path, use_ema: bool):
-    """Model + variables + table, EMA weights optional (ref :387-403)."""
+COND_WEIGHTS_URL = (
+    "https://github.com/chipnbits/flowtrain_stochastic_interpolation/releases/"
+    "download/v1.0.0/conditional-weights.ckpt"
+)
+
+
+def load_model_with_ema_option(config, checkpoint_path, use_ema: bool,
+                               auto_download_dir: str | None = None):
+    """Model + variables + table, EMA weights optional (ref :387-403).
+
+    With no ``checkpoint_path`` and an ``auto_download_dir``, fetches the
+    released ``conditional-weights.ckpt`` (reference ``main`` :551-557);
+    falls back to random init in zero-egress environments."""
     model = build_model(config)
+    if not checkpoint_path and auto_download_dir:
+        from flowtrain_stochastic_interpolation_tpu.utils.io import download_if_missing
+
+        demo_ckpt = os.path.join(auto_download_dir, "conditional-weights.ckpt")
+        if download_if_missing(demo_ckpt, COND_WEIGHTS_URL):
+            checkpoint_path = demo_ckpt
     if checkpoint_path and str(checkpoint_path).endswith(".ckpt"):
         from flowtrain_stochastic_interpolation_tpu.models.persistence import (
             convert_lightning_module,
@@ -164,7 +181,8 @@ def main():
         create_cond_data(args.save_dir, args.n_scenarios, config)
     if args.stage in ("populate", "all"):
         model, variables, table = load_model_with_ema_option(
-            config, args.checkpoint_path, args.use_ema
+            config, args.checkpoint_path, args.use_ema,
+            auto_download_dir=args.save_dir if args.preset == "flagship" else None,
         )
         populate_solutions(args.save_dir, model, variables, table, config, args)
     if args.stage in ("analyze", "all"):

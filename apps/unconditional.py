@@ -80,8 +80,35 @@ def load_variables(config, checkpoint_path: str | None, dirs: dict, use_ema: boo
     return model, variables, table
 
 
+UNCOND_WEIGHTS_URL = (
+    "https://github.com/chipnbits/flowtrain_stochastic_interpolation/releases/"
+    "download/v1.0.0/unconditional-weights.ckpt"
+)
+
+
+def resolve_checkpoint(args, config, dirs) -> str | None:
+    """Reference ``main`` weight-resolution (``model_train_inference.py:816-846``):
+    an explicit path wins; otherwise, when no local checkpoint exists, fetch
+    the released ``unconditional-weights.ckpt`` from the v1.0.0 GitHub release
+    (no-op in zero-egress environments — falls back with a warning)."""
+    if args.checkpoint_path:
+        return args.checkpoint_path
+    from flowtrain_stochastic_interpolation_tpu.train.checkpoint import (
+        CheckpointManager,
+    )
+    from flowtrain_stochastic_interpolation_tpu.utils.io import download_if_missing
+
+    if CheckpointManager(dirs["checkpoint_dir"], None).latest_step() is not None:
+        return None  # load_variables will use the local orbax checkpoint
+    demo_ckpt = os.path.join(dirs["checkpoint_dir"], "unconditional-weights.ckpt")
+    if download_if_missing(demo_ckpt, UNCOND_WEIGHTS_URL):
+        return demo_ckpt
+    return None
+
+
 def run_inference(args, config, dirs) -> None:
-    model, variables, table = load_variables(config, args.checkpoint_path, dirs)
+    ckpt = resolve_checkpoint(args, config, dirs) if args.preset == "flagship" else args.checkpoint_path
+    model, variables, table = load_variables(config, ckpt, dirs)
     ic = config.inference
     result = sample_unconditional(
         model, variables, table,
@@ -142,6 +169,10 @@ def parse_arguments():
     p.add_argument("--train-devices", type=str, default="auto",
                    help="'cpu', 'auto' (all devices), or a count/comma list "
                         "like '0,1' (reference --train-devices parity)")
+    p.add_argument("--wandb", action="store_true", help="log metrics+images to wandb")
+    p.add_argument("--pretrain-smoke", action=argparse.BooleanOptionalAction, default=True,
+                   help="run the reference's pre-training data-inspection + "
+                        "manual-inference checks (model_train_inference.py:540-542)")
     return p.parse_args()
 
 
@@ -177,15 +208,16 @@ def main():
         )
 
         mesh = create_mesh(devices=resolve_devices(args.train_devices))
-        writer = MetricsWriter(dirs["metrics_dir"])
+        writer = MetricsWriter(dirs["metrics_dir"], use_wandb=args.wandb)
         callback = InferenceCallback(
             config, build_model(config), dirs["photo_dir"],
             every_n_epochs=config.training.inference_every_epochs,
+            writer=writer,
         )
         result = train(
             config, num_steps=args.steps, mesh=mesh,
             checkpoint_dir=dirs["checkpoint_dir"], writer=writer,
-            callback=callback,
+            callback=callback, pretrain_smoke=args.pretrain_smoke,
         )
         writer.close()
         print(f"training: {result.steps_per_sec:.3f} steps/s, "

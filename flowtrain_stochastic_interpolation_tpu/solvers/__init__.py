@@ -178,7 +178,9 @@ def solve_ode_adaptive(
     Fully jittable (``lax.while_loop`` inside ``lax.scan`` over segments).
 
     Returns:
-      ``(trajectory [n_frames, B, ...], nfe [int32])``.
+      ``(trajectory [n_frames, B, ...], nfe [int32])``.  A negative ``nfe``
+      signals that ``max_steps`` was exhausted before reaching ``tf`` (the
+      trajectory tail is then truncated — treat as a failed solve).
     """
     f = lambda x, t: _masked(velocity_fn(x, _batch_time(x, t)), frozen_mask)
     ts = jnp.linspace(t0, tf, n_frames, dtype=x0.dtype)

@@ -66,12 +66,13 @@ def dopri5_integrate(
       ts: strictly increasing 1-D save grid.
       atol, rtol: tolerances (reference uses 1e-6/1e-6, ``solvers.py:35``).
       max_steps: per-segment attempt cap (accepted + rejected) — a compile-time
-        backstop against pathological fields; hitting it truncates the segment
-        silently, so keep it generous.
+        backstop against pathological fields.
 
     Returns:
       ``(ys [len(ts), *y0.shape], nfe int32)`` — trajectory and total number
-      of function evaluations.
+      of function evaluations.  If any segment hit ``max_steps`` before
+      reaching its end time (truncated integration), ``nfe`` is returned
+      **negated** — callers must treat ``nfe < 0`` as a failed solve.
     """
     ts = jnp.asarray(ts, dtype=y0.dtype)
     t0 = ts[0]
@@ -123,8 +124,11 @@ def dopri5_integrate(
         y, t, dt, k1, nfe, _ = jax.lax.while_loop(
             cond, body, (y, t, dt, k1, nfe, jnp.int32(0))
         )
-        return (y, t, dt, k1, nfe), y
+        # segment truncated: attempt cap reached before t_end
+        seg_truncated = t < t_end - 1e-12
+        return (y, t, dt, k1, nfe), (y, seg_truncated)
 
     init = (y0, t0, dt_init, k1_init, jnp.int32(1))
-    (_, _, _, _, nfe), ys = jax.lax.scan(segment, init, ts[1:])
+    (_, _, _, _, nfe), (ys, truncs) = jax.lax.scan(segment, init, ts[1:])
+    nfe = jnp.where(jnp.any(truncs), -nfe, nfe)
     return jnp.concatenate([y0[None], ys], axis=0), nfe

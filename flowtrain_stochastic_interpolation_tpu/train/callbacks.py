@@ -37,6 +37,7 @@ class InferenceCallback:
         tf: float = 0.999,
         seed: int = 42,
         use_ema: bool = True,
+        writer=None,
     ):
         self.config = config
         self.model = model
@@ -47,6 +48,7 @@ class InferenceCallback:
         self.tf = tf
         self.seed = seed
         self.use_ema = use_ema
+        self.writer = writer  # optional MetricsWriter for time_to_solve + images
         os.makedirs(save_dir, exist_ok=True)
         self._steps_per_epoch = max(
             config.data.epoch_size // config.data.batch_size, 1
@@ -91,6 +93,8 @@ class InferenceCallback:
 
         decoded = np.asarray(out["decoded"]) - 1
         prom = np.asarray(out["prominence"])
+        step = int(state.step)
+        image_paths = []
         try:
             from flowtrain_stochastic_interpolation_tpu.utils.plotting import (
                 plot_2d_slices,
@@ -98,15 +102,18 @@ class InferenceCallback:
             )
 
             for i in range(min(self.n_samples, 2)):
-                plot_2d_slices(
-                    decoded[i],
-                    save_path=os.path.join(self.save_dir, f"{tag}_sample{i}.png"),
-                )
-                plot_prominence_maps(
-                    prom[i],
-                    save_path=os.path.join(self.save_dir, f"{tag}_prominence{i}.png"),
-                )
-        except Exception as exc:  # rendering must never kill training (ref 3-retry loop)
+                sample_png = os.path.join(self.save_dir, f"{tag}_sample{i}.png")
+                prom_png = os.path.join(self.save_dir, f"{tag}_prominence{i}.png")
+                plot_2d_slices(decoded[i], save_path=sample_png)
+                plot_prominence_maps(prom[i], save_path=prom_png)
+                image_paths += [(f"samples/{tag}_{i}", sample_png),
+                                (f"prominence/{tag}_{i}", prom_png)]
+        except Exception as exc:  # rendering must never kill training
             print(f"[InferenceCallback] rendering failed: {exc}")
+        if self.writer is not None:
+            # ref logs time_to_solve + image artifacts w/ retry (callbacks.py:72-167)
+            self.writer.write(step, {"time_to_solve": time_to_solve})
+            for name, path in image_paths:
+                self.writer.log_image(step, name, path)
         print(f"[InferenceCallback] {tag}: {self.n_samples} samples in {time_to_solve:.2f}s")
         return {"time_to_solve": time_to_solve, "decoded": decoded, "prominence": prom}

@@ -99,7 +99,8 @@ def init_train_state(config: ExperimentConfig, mesh=None) -> tuple:
 class TrainResult:
     state: TrainState
     history: list = field(default_factory=list)
-    steps_per_sec: float = 0.0
+    steps_per_sec: float = 0.0  # steady-state: excludes the first (compile) step
+    steps_per_sec_with_compile: float = 0.0
 
 
 def train(
@@ -111,12 +112,18 @@ def train(
     writer: Optional[MetricsWriter] = None,
     callback: Optional[Callable[[int, TrainState, Dict[str, float]], None]] = None,
     state: Optional[TrainState] = None,
+    pretrain_smoke: bool = False,
 ) -> TrainResult:
     """Run training for ``num_steps`` micro-batches (or config epochs).
 
     Resumes from the latest checkpoint in ``checkpoint_dir`` when present
     (reference ``launch_training`` resume semantics,
     ``model_train_inference.py:499-515``).
+
+    ``pretrain_smoke=True`` runs the reference's pre-training functional
+    checks before step 0 (``model_train_inference.py:540-542``): render the
+    first data batch (``test_inspect_data`` analogue) and exercise one full
+    sampling pass through the callback (``run_manual_inference`` analogue).
     """
     if mesh is None:
         mesh = create_mesh()
@@ -145,9 +152,13 @@ def train(
         else steps_per_epoch * config.training.max_epochs
     )
 
+    if pretrain_smoke:
+        _pretrain_smoke(config, dataset, callback, state, checkpoint_dir)
+
     history = []
     start_step = int(state.step)
     t_start = time.perf_counter()
+    t_after_first = None  # set after step 1 completes: excludes compile
     step = start_step
     epoch = start_step // steps_per_epoch
     batch_iter = dataset.batches(batch_size, epoch=epoch)
@@ -162,8 +173,19 @@ def train(
         batch = shard_batch(jnp.asarray(batch), mesh)
         state, metrics = train_step(state, batch, key)
         step += 1
+        if t_after_first is None:
+            jax.block_until_ready(metrics)  # fence out trace+compile time
+            t_after_first = time.perf_counter()
 
-        if step % config.training.log_every_n_steps == 0 or step == start_step + total_steps:
+        # Epoch boundaries fire the callback regardless of log_every_n_steps
+        # (the reference's InferenceCallback is epoch-driven; coupling it to
+        # the metric cadence silently disabled it for some settings).
+        at_epoch_boundary = step % steps_per_epoch == 0
+        if (
+            step % config.training.log_every_n_steps == 0
+            or at_epoch_boundary
+            or step == start_step + total_steps
+        ):
             host_metrics = {k: float(v) for k, v in metrics.items()}
             host_metrics["step"] = step
             history.append(host_metrics)
@@ -177,14 +199,48 @@ def train(
 
     # block for an honest timing figure
     jax.block_until_ready(state.params)
-    elapsed = time.perf_counter() - t_start
+    t_end = time.perf_counter()
     if mgr:
         mgr.save(step, state, metrics={"train_loss": history[-1]["train_loss"] if history else 0.0})
         mgr.wait()
         mgr.close()
 
+    n_steps_run = step - start_step
+    steady = (
+        (n_steps_run - 1) / max(t_end - t_after_first, 1e-9)
+        if (t_after_first is not None and n_steps_run > 1)
+        else n_steps_run / max(t_end - t_start, 1e-9)
+    )
     return TrainResult(
         state=state,
         history=history,
-        steps_per_sec=(step - start_step) / max(elapsed, 1e-9),
+        steps_per_sec=steady,
+        steps_per_sec_with_compile=n_steps_run / max(t_end - t_start, 1e-9),
     )
+
+
+def _pretrain_smoke(config, dataset, callback, state, checkpoint_dir) -> None:
+    """Pre-training functional checks (ref ``model_train_inference.py:540-542``).
+
+    1. ``test_inspect_data``: pull one batch and render slice grids of the
+       first sample (``model_train_inference.py:714-723``).
+    2. ``run_manual_inference``: one full sampling pass through the inference
+       callback before any training (``callbacks.py:175-183``).
+    """
+    import os
+
+    out_dir = checkpoint_dir or "."
+    try:
+        batch = np.asarray(next(dataset.batches(min(config.data.batch_size, 2), epoch=0)))
+        from flowtrain_stochastic_interpolation_tpu.utils.plotting import plot_2d_slices
+
+        os.makedirs(out_dir, exist_ok=True)
+        plot_2d_slices(batch[0], save_path=os.path.join(out_dir, "inspect_data.png"))
+        print(f"[train] pre-train data inspection saved ({out_dir}/inspect_data.png)")
+    except Exception as exc:
+        print(f"[train] pre-train data inspection failed: {exc}")
+    if callback is not None and hasattr(callback, "run_inference"):
+        try:
+            callback.run_inference(state, tag="pretrain")
+        except Exception as exc:
+            print(f"[train] pre-train manual inference failed: {exc}")

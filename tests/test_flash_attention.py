@@ -1,8 +1,9 @@
 """Flash-attention kernel vs einsum reference (interpret mode on CPU).
 
-On real TPU hardware the same kernel is exercised by ``tools/dev_tpu_check.py``
-and the benchmark; here the Pallas interpreter validates numerics, padding
-(non-multiple key counts from the +4 memory KV), and the custom VJP.
+On real TPU hardware the same kernel is exercised by
+``tools/profile_breakdown.py`` and the benchmark; here the Pallas interpreter
+validates numerics, padding (non-multiple key counts from the +4 memory KV),
+and the custom VJP.
 """
 
 import functools

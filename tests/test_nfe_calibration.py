@@ -4,7 +4,7 @@ The reference samples with adaptive dopri5 (``solvers.py:77``); the driver
 metric is samples/min at *fixed* NFE.  This test shows the calibration holds:
 integrating a (random-weight) UNet velocity field with the fixed-NFE RK4
 sampler decodes to the same categorical volume as the adaptive dopri5
-reference path — categorical argmax absorbs the small trajectory差.
+reference path — categorical argmax absorbs the small trajectory difference.
 """
 
 import jax

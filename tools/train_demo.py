@@ -1,9 +1,16 @@
-"""Flagship training demonstration on real hardware.
+"""Flagship training demonstration on real hardware (uncond + conditional).
 
-Runs N real train steps of the unconditional 64³ recipe (batch 4, accum 1 so
-the compiled program matches tools/measure_train.py's cached one), logs the
-loss curve to CSV, checkpoints, then samples from the trained weights —
-producing end-to-end evidence that the full pipeline trains on TPU.
+Runs N real train steps of the 64³ recipe, logs the loss curve to CSV,
+checkpoints, then samples from the trained weights — producing end-to-end
+evidence that the full pipeline trains on TPU.
+
+* default: unconditional recipe (batch 4, accum 1) — mirrors the reference
+  ``model_train_inference.py --mode train`` loop.
+* ``--conditional``: conditional recipe (batch 2 through this environment's
+  compile tunnel; accumulation recovers the effective batch) with on-device
+  borehole/surface masks, AdamW + EMA, ending in a conditional ensemble
+  sampled from a held-out scenario (reference
+  ``model_train_sh_inference_cond.py:401-467`` + ensemble flow).
 """
 
 from __future__ import annotations
@@ -30,29 +37,39 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=600)
-    p.add_argument("--batch-size", type=int, default=4)
-    p.add_argument("--out", default="/root/repo/artifacts/train_demo")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--conditional", action="store_true")
+    p.add_argument("--accum", type=int, default=1)
+    p.add_argument("--out", default=None)
     args = p.parse_args()
+    if args.batch_size is None:
+        args.batch_size = 2 if args.conditional else 4
+    if args.out is None:
+        args.out = "/root/repo/artifacts/train_demo" + ("_cond" if args.conditional else "")
     os.makedirs(args.out, exist_ok=True)
 
-    from flowtrain_stochastic_interpolation_tpu.config import unconditional_64
+    from flowtrain_stochastic_interpolation_tpu.config import (
+        conditional_64,
+        unconditional_64,
+    )
     from flowtrain_stochastic_interpolation_tpu.data.synthetic import (
         synthetic_geology_batch,
     )
-    from flowtrain_stochastic_interpolation_tpu.inference import sample_unconditional
-    from flowtrain_stochastic_interpolation_tpu.train.checkpoint import CheckpointManager
-    from flowtrain_stochastic_interpolation_tpu.train.loop import (
-        build_model,
-        init_train_state,
+    from flowtrain_stochastic_interpolation_tpu.inference import (
+        build_atb,
+        sample_conditional,
+        sample_unconditional,
     )
+    from flowtrain_stochastic_interpolation_tpu.train.checkpoint import CheckpointManager
+    from flowtrain_stochastic_interpolation_tpu.train.loop import init_train_state
     from flowtrain_stochastic_interpolation_tpu.train.steps import make_train_step
     from flowtrain_stochastic_interpolation_tpu.utils.logging import MetricsWriter
 
-    config = unconditional_64()
+    config = conditional_64() if args.conditional else unconditional_64()
     config = dataclasses.replace(
         config,
         data=dataclasses.replace(config.data, batch_size=args.batch_size),
-        training=dataclasses.replace(config.training, accumulate_grad_batches=1),
+        training=dataclasses.replace(config.training, accumulate_grad_batches=args.accum),
     )
     model, tx, state = init_train_state(config)
     train_step = make_train_step(model, tx, config)
@@ -69,8 +86,11 @@ def main():
         if step % 10 == 0 or step == args.steps - 1:
             loss = float(metrics["train_loss"])  # true device fence
             losses.append(loss)
-            writer.write(step, {"train_loss": loss,
-                                "grad_norm": float(metrics["grad_norm"])})
+            row = {"train_loss": loss, "grad_norm": float(metrics["grad_norm"])}
+            if args.conditional:
+                row["flow_loss"] = float(metrics["flow_loss"])
+                row["reconstruct_loss"] = float(metrics["reconstruct_loss"])
+            writer.write(step, row)
             if step % 100 == 0:
                 print(f"step {step}: loss {loss:.4f} "
                       f"({(time.perf_counter() - t_start):.0f}s elapsed)", flush=True)
@@ -81,40 +101,75 @@ def main():
     mgr.save(args.steps, state, metrics={"train_loss": losses[-1]})
     mgr.wait()
 
-    # sample from the trained weights (batch-8 sampler program is cached)
-    variables = {"params": state.params}
+    # sample from the trained weights (EMA when present — reference applies
+    # EMA at train end, cond callbacks.py:270-274)
+    params = state.ema_params if state.ema_params is not None else state.params
+    variables = {"params": params}
     if state.constants.get("model"):
         variables["constants"] = state.constants["model"]
-    result = sample_unconditional(
-        model, variables, state.constants["embedding"],
-        n_samples=8, batch_size=8, data_shape=config.data.shape,
-        embedding_dim=config.data.embedding_dim, seed=100,
-        t0=0.001, tf=1.0, n_frames=16, substeps=2, method="rk4",
-        with_prominence=True, verbose=False,
-    )
-    for i in range(4):
-        np.save(os.path.join(args.out, f"sample_{i}.npy"),
-                (result.decoded[i] - 1).astype(np.int8))
+    table = state.constants["embedding"]
+
+    summary = {
+        "conditional": args.conditional,
+        "steps": args.steps,
+        "batch": args.batch_size,
+        "accum": args.accum,
+        "elapsed_s": round(elapsed, 1),
+        "loss_first": round(losses[0], 4),
+        "loss_last": round(float(np.mean(losses[-5:])), 4),
+    }
+
+    if args.conditional:
+        from flowtrain_stochastic_interpolation_tpu.ops.masks import make_combined_mask
+
+        # held-out scenario: true volume + combined observation mask
+        true = synthetic_geology_batch(jax.random.PRNGKey(999), 1, config.data.shape)[0]
+        mask = make_combined_mask(jax.random.PRNGKey(998), true[None])[0]
+        atb = build_atb(true, mask, table)
+        result = sample_conditional(
+            model, variables, table, atb,
+            n_samples=4, batch_size=4, seed=42,
+            t0=config.inference.t0, tf=config.inference.tf,
+            n_frames=config.inference.n_frames,
+            substeps=config.inference.substeps, method="rk4", verbose=False,
+        )
+        dec = result.decoded - 1
+        np.save(os.path.join(args.out, "true_model.npy"), np.asarray(true, np.int8))
+        for i in range(dec.shape[0]):
+            np.save(os.path.join(args.out, f"sol_{i}.npy"), dec[i].astype(np.int8))
+        m = np.asarray(mask)
+        obs_acc = float(((dec == np.asarray(true)[None]) * m[None]).sum()
+                        / max(m.sum() * dec.shape[0], 1))
+        summary.update({
+            "observed_voxel_accuracy": round(obs_acc, 3),
+            "ensemble_agreement": round(float((dec[0] == dec[1]).mean()), 3),
+        })
+    else:
+        result = sample_unconditional(
+            model, variables, table,
+            n_samples=8, batch_size=8, data_shape=config.data.shape,
+            embedding_dim=config.data.embedding_dim, seed=100,
+            t0=0.001, tf=1.0, n_frames=16, substeps=2, method="rk4",
+            with_prominence=True, verbose=False,
+        )
+        for i in range(4):
+            np.save(os.path.join(args.out, f"sample_{i}.npy"),
+                    (result.decoded[i] - 1).astype(np.int8))
+        dec = result.decoded - 1
+        summary.update({
+            "air_frac_top": round(float((dec[..., -8:] == -1).mean()), 3),
+            "air_frac_bottom": round(float((dec[..., :8] == -1).mean()), 3),
+            "prominence_mean": round(float(result.prominence.mean()), 4),
+        })
+
     try:
         from flowtrain_stochastic_interpolation_tpu.utils.plotting import plot_2d_slices
-        plot_2d_slices(result.decoded[0] - 1,
-                       save_path=os.path.join(args.out, "sample_0_slices.png"))
+        first = (result.decoded[0] - 1)
+        plot_2d_slices(first, save_path=os.path.join(args.out, "sample_0_slices.png"))
     except Exception as exc:
         print("plot failed:", exc)
 
-    # sample statistics: a trained model should produce air-on-top structure
-    dec = result.decoded - 1
-    air_top = float((dec[..., -8:] == -1).mean())
-    air_bottom = float((dec[..., :8] == -1).mean())
-    print(json.dumps({
-        "steps": args.steps,
-        "elapsed_s": round(elapsed, 1),
-        "loss_first": round(losses[0], 4),
-        "loss_last": round(np.mean(losses[-5:]), 4),
-        "air_frac_top": round(air_top, 3),
-        "air_frac_bottom": round(air_bottom, 3),
-        "prominence_mean": round(float(result.prominence.mean()), 4),
-    }))
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
