@@ -56,6 +56,7 @@ class LinearAttention(nn.Module):
     num_mem_kv: int = 4
     fused: bool = False  # Pallas kernel measured slower at d=32; see above
     dtype: Dtype = None
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -77,6 +78,21 @@ class LinearAttention(nn.Module):
         ).astype(q.dtype)
         mk = jnp.broadcast_to(mem_kv[0], (b, *mem_kv[0].shape)).transpose(0, 2, 1, 3)
         mv = jnp.broadcast_to(mem_kv[1], (b, *mem_kv[1].shape)).transpose(0, 2, 1, 3)
+
+        if self.spatial_axis is not None:
+            # token axis sharded over the mesh: global-softmax collectives
+            # (parallel.spatial) instead of local einsums
+            from flowtrain_stochastic_interpolation_tpu.parallel.spatial import (
+                sharded_linear_attention,
+            )
+
+            out = sharded_linear_attention(
+                q, k, v, self.spatial_axis, mem_k=mk, mem_v=mv
+            )
+            out = out.reshape(b, *spatial, hidden)
+            out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+            return RMSNorm(self.dim, dtype=self.dtype, name="out_norm")(out)
+
         k = jnp.concatenate([mk, k], axis=1)  # [B, N+m, h, d]
         v = jnp.concatenate([mv, v], axis=1)
 
@@ -125,6 +141,7 @@ class Attention(nn.Module):
     num_mem_kv: int = 4
     flash: bool = True
     dtype: Dtype = None
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -146,9 +163,17 @@ class Attention(nn.Module):
         ).astype(q.dtype)
         mk = jnp.broadcast_to(mem_kv[0], (b, *mem_kv[0].shape)).transpose(0, 2, 1, 3)
         mv = jnp.broadcast_to(mem_kv[1], (b, *mem_kv[1].shape)).transpose(0, 2, 1, 3)
-        k = jnp.concatenate([mk, k], axis=1)
-        v = jnp.concatenate([mv, v], axis=1)
 
-        out = _sdpa(q, k, v, self.flash)
+        if self.spatial_axis is not None:
+            # token axis sharded: exact softmax via K/V ring rotation
+            from flowtrain_stochastic_interpolation_tpu.parallel.spatial import (
+                ring_attention,
+            )
+
+            out = ring_attention(q, k, v, self.spatial_axis, mem_k=mk, mem_v=mv)
+        else:
+            k = jnp.concatenate([mk, k], axis=1)
+            v = jnp.concatenate([mv, v], axis=1)
+            out = _sdpa(q, k, v, self.flash)
         out = out.reshape(b, *spatial, hidden)
         return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)

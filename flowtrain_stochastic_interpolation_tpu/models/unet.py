@@ -98,6 +98,12 @@ class UNet(nn.Module):
     full_attn: Optional[Sequence[bool]] = None
     flash_attn: bool = True
     dtype: Dtype = None
+    # Mesh axis name for explicit spatial (context) parallelism: when set the
+    # model must run inside shard_map with the X axis sharded over this mesh
+    # axis — convs use ppermute halo exchange, full attention runs as ring
+    # attention, linear attention's token softmax becomes pmax/psum
+    # collectives (parallel/spatial.py; SURVEY.md §5 long-context plan).
+    spatial_axis: Optional[str] = None
 
     @property
     def downsample_factor(self) -> int:
@@ -107,7 +113,8 @@ class UNet(nn.Module):
         if not self.attn_enabled:
             return None
         klass = Attention if full else LinearAttention
-        kwargs = dict(dim=dim, heads=heads, dim_head=dim_head, dtype=self.dtype, name=name)
+        kwargs = dict(dim=dim, heads=heads, dim_head=dim_head, dtype=self.dtype,
+                      name=name, spatial_axis=self.spatial_axis)
         if full:
             kwargs["flash"] = self.flash_attn
         return klass(**kwargs)
@@ -144,7 +151,8 @@ class UNet(nn.Module):
 
         compute_dtype = self.dtype or x.dtype
         x = x.astype(compute_dtype)
-        x = conv_nd(self.ndim, self.dim, 7, dtype=self.dtype, name="init_conv")(x)
+        x = conv_nd(self.ndim, self.dim, 7, dtype=self.dtype, name="init_conv",
+                    spatial_axis=self.spatial_axis)(x)
         r = x
 
         t = TimeMLP(
@@ -158,10 +166,15 @@ class UNet(nn.Module):
         )(time.astype(compute_dtype))
 
         res = lambda dim_out, name: ResnetBlock(
-            dim_out, self.ndim, dropout=self.dropout, dtype=self.dtype, name=name
+            dim_out, self.ndim, dropout=self.dropout, dtype=self.dtype, name=name,
+            spatial_axis=self.spatial_axis,
         )
         Up = Upsample if self.ndim == 3 else Upsample2D
         Down = Downsample if self.ndim == 3 else Downsample2D
+        # spatial parallelism is 3-D only; the 2-D modules take no axis kwarg
+        resample_kwargs = (
+            {"spatial_axis": self.spatial_axis} if self.ndim == 3 else {}
+        )
 
         skips = []
         # ---- down path (ref forward :689-698) ----
@@ -175,9 +188,12 @@ class UNet(nn.Module):
                 x = attn(x) + x
             skips.append(x)
             if not is_last:
-                x = Down(dim_out, name=f"downs_{i}_downsample", dtype=self.dtype)(x)
+                x = Down(dim_out, name=f"downs_{i}_downsample", dtype=self.dtype,
+                         **resample_kwargs)(x)
             else:
-                x = conv_nd(self.ndim, dim_out, 3, dtype=self.dtype, name=f"downs_{i}_downsample")(x)
+                x = conv_nd(self.ndim, dim_out, 3, dtype=self.dtype,
+                            name=f"downs_{i}_downsample",
+                            spatial_axis=self.spatial_axis)(x)
 
         # ---- bottleneck (ref :700-703) ----
         mid_dim = dims[-1]
@@ -200,9 +216,12 @@ class UNet(nn.Module):
             if attn is not None:
                 x = attn(x) + x
             if not is_last:
-                x = Up(dim_in, name=f"ups_{i}_upsample", dtype=self.dtype)(x)
+                x = Up(dim_in, name=f"ups_{i}_upsample", dtype=self.dtype,
+                       **resample_kwargs)(x)
             else:
-                x = conv_nd(self.ndim, dim_in, 3, dtype=self.dtype, name=f"ups_{i}_upsample")(x)
+                x = conv_nd(self.ndim, dim_in, 3, dtype=self.dtype,
+                            name=f"ups_{i}_upsample",
+                            spatial_axis=self.spatial_axis)(x)
 
         # ---- head (ref :716-719) ----
         x = jnp.concatenate([x, r], axis=-1)
