@@ -36,6 +36,7 @@ class ModelConfig:
     attn_heads: int = 4
     full_attn: Optional[Tuple[bool, ...]] = None
     flash_attn: bool = True
+    fused_folded_attn: bool = True  # head-folded Pallas linear attention
     conditional: bool = False
     cond_variant: str = "v3"
     dtype: str = "bfloat16"  # compute dtype on TPU; params stay f32

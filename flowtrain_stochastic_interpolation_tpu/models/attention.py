@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax import Array
@@ -32,14 +33,14 @@ Dtype = Any
 # Minimum token count for which the Pallas kernel beats the fused einsum path
 # (innermost 4^3=64 tokens never qualify; 16^3+ does).
 _FLASH_MIN_TOKENS = 1024
-# Pallas fused linear attention threshold.  Measured on TPU v5e at the
-# flagship config (64³ = 262k tokens, d=32, batch 8): the XLA einsum
-# composition runs an RK4 step in 1305 ms vs 1560 ms for the Pallas kernel —
-# the d=32 lane underfill and sequential context grid cost more than the
-# avoided softmax(k) HBM round-trip.  The kernel therefore defaults OFF
-# (module flag `fused=False`); revisit with a head-folded layout in a later
-# round.
+# Pallas fused linear attention thresholds.  The v1 per-(batch·head) kernel
+# measured slower than XLA at d=32 (lane underfill + bhnd transposes: RK4
+# 1560 ms vs 1305 ms at the flagship shape) and stays opt-in.  The v2
+# *head-folded* kernel keeps qkv in [B, N, h·d] layout (h·d = 128 = full lane
+# width, no transposes) and wins on TPU v5e — it is the default whenever the
+# folded width is a lane multiple (see `fused_folded`).
 _FUSED_LINEAR_MIN_TOKENS = 32768
+_FOLDED_LINEAR_MIN_TOKENS = 4096
 
 
 class LinearAttention(nn.Module):
@@ -54,7 +55,8 @@ class LinearAttention(nn.Module):
     heads: int = 4
     dim_head: int = 32
     num_mem_kv: int = 4
-    fused: bool = False  # Pallas kernel measured slower at d=32; see above
+    fused: bool = False  # v1 per-head Pallas kernel: measured slower, opt-in
+    fused_folded: bool = True  # v2 head-folded Pallas kernel: measured faster
     dtype: Dtype = None
     spatial_axis: Optional[str] = None
 
@@ -69,6 +71,39 @@ class LinearAttention(nn.Module):
 
         x = RMSNorm(self.dim, dtype=self.dtype, name="norm")(x)
         qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+
+        if (
+            self.fused_folded
+            and self.spatial_axis is None
+            and n >= _FOLDED_LINEAR_MIN_TOKENS
+            and hidden % 128 == 0
+            and jax.default_backend() == "tpu"
+        ):
+            # head-folded Pallas path: qkv never leaves [B, N, h·d] layout
+            from flowtrain_stochastic_interpolation_tpu.ops.linear_attention import (
+                linear_attention_folded,
+            )
+
+            qkv = qkv.reshape(b, n, 3 * hidden)
+            qf, kf, vf = (
+                qkv[..., :hidden],
+                qkv[..., hidden : 2 * hidden],
+                qkv[..., 2 * hidden :],
+            )
+            mem_kv = self.param(
+                "mem_kv", nn.initializers.normal(1.0),
+                (2, self.heads, self.num_mem_kv, self.dim_head), jnp.float32,
+            ).astype(qf.dtype)
+            # [h, n_mem, d] -> [n_mem, h·d] folded layout
+            fold_mem = lambda t: t.transpose(1, 0, 2).reshape(self.num_mem_kv, hidden)
+            out = linear_attention_folded(
+                qf, kf, vf, fold_mem(mem_kv[0]), fold_mem(mem_kv[1]),
+                heads=self.heads,
+            )
+            out = out.reshape(b, *spatial, hidden)
+            out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+            return RMSNorm(self.dim, dtype=self.dtype, name="out_norm")(out)
+
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, h, d]
 

@@ -97,6 +97,7 @@ class UNet(nn.Module):
     attn_heads: Union[int, Sequence[int]] = 4
     full_attn: Optional[Sequence[bool]] = None
     flash_attn: bool = True
+    fused_folded_attn: bool = True  # head-folded Pallas linear attention
     dtype: Dtype = None
     # Mesh axis name for explicit spatial (context) parallelism: when set the
     # model must run inside shard_map with the X axis sharded over this mesh
@@ -117,6 +118,8 @@ class UNet(nn.Module):
                       name=name, spatial_axis=self.spatial_axis)
         if full:
             kwargs["flash"] = self.flash_attn
+        else:
+            kwargs["fused_folded"] = self.fused_folded_attn
         return klass(**kwargs)
 
     @nn.compact

@@ -121,6 +121,7 @@ class UNet3DCond(nn.Module):
     attn_heads: Union[int, Sequence[int]] = 4
     full_attn: Optional[Sequence[bool]] = None
     flash_attn: bool = True
+    fused_folded_attn: bool = True  # head-folded Pallas linear attention
     variant: str = "v3"
     dtype: Dtype = None
 
@@ -135,6 +136,8 @@ class UNet3DCond(nn.Module):
         kwargs = dict(dim=dim, heads=heads, dim_head=dim_head, dtype=self.dtype, name=name)
         if full:
             kwargs["flash"] = self.flash_attn
+        else:
+            kwargs["fused_folded"] = self.fused_folded_attn
         return klass(**kwargs)
 
     @nn.compact

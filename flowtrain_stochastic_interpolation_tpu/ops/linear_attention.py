@@ -190,3 +190,196 @@ def linear_attention_reference(q: Array, k: Array, v: Array) -> Array:
     to_bhnd = lambda t: t.transpose(0, 2, 1, 3).reshape(b * h, t.shape[1], d)
     out = _reference_bhnd(to_bhnd(q), to_bhnd(k), to_bhnd(v))
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Head-folded kernel (v2): [B, N, h·d] layout with h·d = 128 lanes.
+#
+# The v1 kernel above works per (batch·head) on d = 32-wide blocks — only 32
+# of the TPU's 128 lanes carry data, and feeding it requires a [B,N,h,d] →
+# [B·h,N,d] transpose (two extra passes over 0.5 GB tensors at the flagship
+# 64³ shape).  Folding the heads into the lane dimension fixes both:
+#
+# * k's softmax is over tokens **per column** — columns are independent, so a
+#   folded [N, 128] layout changes nothing;
+# * q's softmax over each 32-wide head group is computed with a *global* row
+#   max (any per-row shift is valid for softmax) and a block-diagonal
+#   ones-matmul for the per-group sums — full-lane ops only;
+# * the per-head [d, d] context matmuls become one [128, 128] matmul with a
+#   block-diagonal mask (4× redundant FLOPs on a [d,e]-sized op: free).
+#
+# The 4 memory-KV tokens (ref ``unet_attn_3d.py:306-320``) seed the online
+# accumulators at grid step 0, so k/v are consumed without a concatenated
+# copy.  Reference semantics: ``unet_attn_3d.py:284-341``.
+# ---------------------------------------------------------------------------
+
+
+def _folded_context_kernel(k_ref, v_ref, mk_ref, mv_ref, ctx_ref,
+                           m_scr, s_scr, ctx_scr, *,
+                           n_keys: int, block_k: int, heads: int, dim_head: int):
+    """Online softmax-over-N context: ctx = blockdiag(softmax_N([mem;k])^T v)."""
+    ki = pl.program_id(1)
+    nk = pl.num_programs(1)
+    hd = heads * dim_head
+
+    @pl.when(ki == 0)
+    def _init():
+        # seed with the memory-KV contribution (exact: online max continues)
+        mk = mk_ref[...].astype(jnp.float32)  # [n_mem, hd]
+        mv = mv_ref[...].astype(jnp.float32)
+        m0 = jnp.max(mk, axis=0)  # [hd]
+        p0 = jnp.exp(mk - m0[None, :])
+        m_scr[0] = m0
+        s_scr[0] = jnp.sum(p0, axis=0)
+        ctx_scr[:] = jax.lax.dot_general(
+            p0, mv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    k = k_ref[0].astype(jnp.float32)  # [bk, hd]
+    v = v_ref[0].astype(jnp.float32)
+    row = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)
+    k = jnp.where(row < n_keys, k, _NEG_INF)
+    v = jnp.where(row < n_keys, v, 0.0)
+
+    m_prev = m_scr[0]
+    m_new = jnp.maximum(m_prev, jnp.max(k, axis=0))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(k - m_new[None, :])
+
+    s_scr[0] = s_scr[0] * alpha + jnp.sum(p, axis=0)
+    m_scr[0] = m_new
+    ctx_scr[:] = ctx_scr[:] * alpha[:, None] + jax.lax.dot_general(
+        p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        ctx = ctx_scr[:] / s_scr[0][:, None]
+        # zero cross-head blocks so the projection matmul is exact per-head
+        gi = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim_head
+        gj = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim_head
+        ctx_ref[0] = jnp.where(gi == gj, ctx, 0.0).astype(ctx_ref.dtype)
+
+
+def _folded_project_kernel(q_ref, ctx_ref, o_ref, *,
+                           heads: int, dim_head: int, scale: float):
+    """out = groupsoftmax(q) · scale @ ctx  (ctx already block-diagonal)."""
+    hd = heads * dim_head
+    q = q_ref[0].astype(jnp.float32)  # [bq, hd]
+    # global row max is a valid shift for every per-group softmax
+    m = jnp.max(q, axis=-1, keepdims=True)
+    e = jnp.exp(q - m)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim_head
+    gj = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim_head
+    ones_bd = jnp.where(gi == gj, 1.0, 0.0).astype(jnp.float32)
+    denom = jax.lax.dot_general(  # lane j <- sum of j's head group
+        e, ones_bd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = (e / denom) * scale
+    ctx = ctx_ref[0].astype(jnp.bfloat16)  # [hd, hd]
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), ctx, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _folded_fwd(q: Array, k: Array, v: Array, mem_k: Array, mem_v: Array,
+                heads: int, block_n: int) -> Array:
+    b, n, hd = q.shape
+    m = k.shape[1]
+    dim_head = hd // heads
+    scale = dim_head**-0.5
+
+    ctx = pl.pallas_call(
+        functools.partial(
+            _folded_context_kernel, n_keys=m, block_k=block_n,
+            heads=heads, dim_head=dim_head,
+        ),
+        grid=(b, pl.cdiv(m, block_n)),
+        in_specs=[
+            pl.BlockSpec((1, block_n, hd), lambda bb, ki: (bb, ki, 0)),
+            pl.BlockSpec((1, block_n, hd), lambda bb, ki: (bb, ki, 0)),
+            pl.BlockSpec(mem_k.shape, lambda bb, ki: (0,) * mem_k.ndim),
+            pl.BlockSpec(mem_v.shape, lambda bb, ki: (0,) * mem_v.ndim),
+        ],
+        out_specs=pl.BlockSpec((1, hd, hd), lambda bb, ki: (bb, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hd, hd), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, hd), jnp.float32),
+            pltpu.VMEM((1, hd), jnp.float32),
+            pltpu.VMEM((hd, hd), jnp.float32),
+        ],
+    )(k, v, mem_k, mem_v)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _folded_project_kernel, heads=heads, dim_head=dim_head, scale=scale
+        ),
+        grid=(b, pl.cdiv(n, block_n)),
+        in_specs=[
+            pl.BlockSpec((1, block_n, hd), lambda bb, qi: (bb, qi, 0)),
+            pl.BlockSpec((1, hd, hd), lambda bb, qi: (bb, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_n, hd), lambda bb, qi: (bb, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), q.dtype),
+    )(q, ctx)
+    return out
+
+
+def _folded_reference(q, k, v, mem_k, mem_v, heads):
+    """XLA reference for the folded layout (also the VJP recompute path)."""
+    b, n, hd = q.shape
+    d = hd // heads
+    f32 = jnp.float32
+    qf = q.astype(f32).reshape(b, n, heads, d)
+    kf = jnp.concatenate(
+        [jnp.broadcast_to(mem_k[None], (b, *mem_k.shape)), k.astype(f32)], axis=1
+    ).reshape(b, -1, heads, d)
+    vf = jnp.concatenate(
+        [jnp.broadcast_to(mem_v[None], (b, *mem_v.shape)), v.astype(f32)], axis=1
+    ).reshape(b, -1, heads, d)
+    qs = jax.nn.softmax(qf, axis=-1) * d**-0.5
+    ks = jax.nn.softmax(kf, axis=1)
+    ctx = jnp.einsum("bnhd,bnhe->bhde", ks, vf)
+    out = jnp.einsum("bnhd,bhde->bnhe", qs, ctx)
+    return out.reshape(b, n, hd).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _linear_attn_folded(q, k, v, mem_k, mem_v, heads: int, block_n: int):
+    return _folded_fwd(q, k, v, mem_k, mem_v, heads, block_n)
+
+
+def _folded_vjp_fwd(q, k, v, mem_k, mem_v, heads, block_n):
+    return _folded_fwd(q, k, v, mem_k, mem_v, heads, block_n), (q, k, v, mem_k, mem_v)
+
+
+def _folded_vjp_bwd(heads, block_n, res, dout):
+    """Closed-form XLA backward (every intermediate [d,e]-bottlenecked)."""
+    q, k, v, mem_k, mem_v = res
+    _, vjp = jax.vjp(
+        lambda qq, kk, vv, mk, mv: _folded_reference(qq, kk, vv, mk, mv, heads),
+        q, k, v, mem_k, mem_v,
+    )
+    return vjp(dout)
+
+
+_linear_attn_folded.defvjp(_folded_vjp_fwd, _folded_vjp_bwd)
+
+
+def linear_attention_folded(q: Array, k: Array, v: Array,
+                            mem_k: Array, mem_v: Array, *, heads: int,
+                            block_n: int = 1024) -> Array:
+    """Fused linear attention on head-folded ``[B, N, h·d]`` tensors.
+
+    ``mem_k``/``mem_v`` are the ``[n_mem, h·d]`` learnable memory-KV tokens,
+    folded the same way and shared across the batch.  Requires ``h·d`` to be a
+    multiple of 128 (lane width) — the flagship config's 4×32 = 128 exactly.
+    Semantics match ``unet_attn_3d.py:284-341``.
+    """
+    b, n, hd = q.shape
+    if hd % 128 != 0:
+        raise ValueError(f"folded head dim {hd} must be a multiple of 128")
+    block_n = min(block_n, _round_up(n, 128))
+    return _linear_attn_folded(q, k, v, mem_k, mem_v, heads, block_n)

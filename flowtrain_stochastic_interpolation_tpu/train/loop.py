@@ -54,6 +54,7 @@ def build_model(config: ExperimentConfig):
         attn_heads=mc.attn_heads,
         full_attn=mc.full_attn,
         flash_attn=mc.flash_attn,
+        fused_folded_attn=mc.fused_folded_attn,
         dtype=dtype,
     )
     if mc.conditional:

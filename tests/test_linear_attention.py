@@ -50,6 +50,88 @@ def test_fused_gradients_match_reference():
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("n,m", [(512, 512), (256, 384)])
+def test_folded_matches_reference(n, m):
+    from flowtrain_stochastic_interpolation_tpu.ops.linear_attention import (
+        _folded_reference,
+        linear_attention_folded,
+    )
+
+    heads, d = 4, 32
+    keys = jax.random.split(jax.random.PRNGKey(3), 5)
+    q = jax.random.normal(keys[0], (2, n, heads * d))
+    k = jax.random.normal(keys[1], (2, m, heads * d))
+    v = jax.random.normal(keys[2], (2, m, heads * d))
+    mk = jax.random.normal(keys[3], (4, heads * d))
+    mv = jax.random.normal(keys[4], (4, heads * d))
+    out = _run_interpret(
+        functools.partial(linear_attention_folded, heads=heads, block_n=128),
+        q, k, v, mk, mv,
+    )
+    ref = _folded_reference(q, k, v, mk, mv, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-2, atol=3e-3)
+
+
+def test_folded_reference_matches_headed_reference():
+    """The folded-layout XLA reference (incl. mem-KV seeding) must equal the
+    [B,N,h,d] composition used by the module's einsum path."""
+    from flowtrain_stochastic_interpolation_tpu.ops.linear_attention import (
+        _folded_reference,
+    )
+
+    heads, d = 4, 32
+    keys = jax.random.split(jax.random.PRNGKey(4), 5)
+    b, n = 2, 96
+    q = jax.random.normal(keys[0], (b, n, heads, d))
+    k = jax.random.normal(keys[1], (b, n, heads, d))
+    v = jax.random.normal(keys[2], (b, n, heads, d))
+    mk = jax.random.normal(keys[3], (heads, 4, d))  # [h, n_mem, d] param layout
+    mv = jax.random.normal(keys[4], (heads, 4, d))
+
+    # headed composition with concatenated mem tokens
+    mk_b = jnp.broadcast_to(mk.transpose(1, 0, 2)[None], (b, 4, heads, d))
+    mv_b = jnp.broadcast_to(mv.transpose(1, 0, 2)[None], (b, 4, heads, d))
+    kk = jnp.concatenate([mk_b, k], axis=1)
+    vv = jnp.concatenate([mv_b, v], axis=1)
+    ref = linear_attention_reference(q, kk, vv)
+
+    fold = lambda t: t.reshape(*t.shape[:-2], heads * d)
+    out = _folded_reference(
+        fold(q), fold(k), fold(v),
+        fold(mk.transpose(1, 0, 2)), fold(mv.transpose(1, 0, 2)), heads,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref.reshape(b, n, heads * d)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_folded_gradients_match_reference():
+    from flowtrain_stochastic_interpolation_tpu.ops.linear_attention import (
+        _folded_reference,
+        linear_attention_folded,
+    )
+
+    heads, d = 4, 32
+    keys = jax.random.split(jax.random.PRNGKey(5), 5)
+    q = jax.random.normal(keys[0], (1, 128, heads * d))
+    k = jax.random.normal(keys[1], (1, 128, heads * d))
+    v = jax.random.normal(keys[2], (1, 128, heads * d))
+    mk = jax.random.normal(keys[3], (4, heads * d))
+    mv = jax.random.normal(keys[4], (4, heads * d))
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.tanh(linear_attention_folded(*a, heads=heads, block_n=128)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.tanh(_folded_reference(*a, heads)))
+
+    g_f = _run_interpret(jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4)), q, k, v, mk, mv)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, mk, mv)
+    for gf, gr in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=2e-4)
+
+
 def test_module_semantics_match_torch_reference_composition():
     """The einsum path inside LinearAttention equals the standalone reference
     composition (same softmax axes/scale as unet_attn_3d.py:308-341)."""
