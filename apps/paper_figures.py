@@ -27,6 +27,7 @@ from flowtrain_stochastic_interpolation_tpu.utils.plotting import (
     plot_2d_slices,
     plot_volume,
 )
+from flowtrain_stochastic_interpolation_tpu.utils import volview as vv
 
 
 def dike_probability_figure(scenario_dir: str, out_path: str, threshold: float = 0.15):
@@ -90,6 +91,44 @@ def unconditional_sample_grid(samples_dir: str, out_path: str):
     for i, f in enumerate(vols[:4]):
         vol = np.load(os.path.join(samples_dir, f))
         plot_2d_slices(vol, save_path=out_path.replace(".png", f"_{i}.png"))
+    # 1×3 sample row with shared colorbar (ref make_unconditioned_figures :236)
+    if len(vols) >= 3:
+        row = [np.load(os.path.join(samples_dir, f)) for f in vols[:3]]
+        vv.sample_row_figure(row, out_path.replace(".png", "_row.png"))
+    vv.standalone_scalarbar(out_path.replace(".png", "_scalarbar.png"))
+
+
+def volume_view_figures(scenario_dir: str, out_dir: str, folder: str):
+    """Volume-view builders (ref ``visualize.py:268-341,675-815``): volview of
+    the true model, dike-only views, 2×1 model/boreholes, realization sheet,
+    probability contours.  PyVista when present, matplotlib fallbacks here."""
+    def load(name):
+        path = os.path.join(scenario_dir, name)
+        return np.load(path) if os.path.exists(path) else None
+
+    true = load("true_model.npy")
+    boreholes = load("boreholes.npy")
+    dike_prob = load("dike_probability.npy")
+    sols = sorted(f for f in os.listdir(scenario_dir) if f.startswith("sol_"))
+    vols = [np.load(os.path.join(scenario_dir, f)) for f in sols[:12]]
+
+    if true is not None:
+        vv.volview(true, os.path.join(out_dir, f"{folder}_volview.png"),
+                   title="true model")
+        vv.dike_view(true, os.path.join(out_dir, f"{folder}_dikes_true.png"))
+    if true is not None and boreholes is not None:
+        vv.model_and_boreholes_figure(
+            true, boreholes, os.path.join(out_dir, f"{folder}_model_boreholes.png"))
+    if vols:
+        vv.realization_sheet(
+            vols, os.path.join(out_dir, f"{folder}_realization_sheet.png"))
+    if dike_prob is not None:
+        obs = None
+        if boreholes is not None:
+            obs = boreholes == vv.DIKE_CATEGORY
+        vv.probability_contour_view(
+            dike_prob, os.path.join(out_dir, f"{folder}_prob_contours.png"),
+            observations=obs)
 
 
 def main():
@@ -114,6 +153,7 @@ def main():
                     sdir, os.path.join(args.out_dir, f"{folder}_entropy.png"))
             realization_grid(
                 sdir, os.path.join(args.out_dir, f"{folder}_realizations.png"))
+            volume_view_figures(sdir, args.out_dir, folder)
             print(f"figures written for {folder}")
 
     if args.samples_dir and os.path.isdir(args.samples_dir):

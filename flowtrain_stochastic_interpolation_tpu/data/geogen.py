@@ -44,6 +44,8 @@ class GeoGenDataset:
         dataset_size: int,
         n_categories: int = 15,
         seed: int = 0,
+        num_workers: int = 16,
+        prefetch_depth: int = 2,
     ):
         from geogen.dataset import GeoData3DStreamingDataset  # type: ignore
 
@@ -56,6 +58,8 @@ class GeoGenDataset:
         self.model_resolution = tuple(model_resolution)
         self.dataset_size = dataset_size
         self.n_categories = n_categories
+        self.num_workers = num_workers
+        self.prefetch_depth = prefetch_depth
 
     def __len__(self) -> int:
         return self.dataset_size
@@ -65,10 +69,25 @@ class GeoGenDataset:
         return np.asarray(sample.squeeze(0).cpu().numpy(), dtype=np.int32)
 
     def batches(self, batch_size: int, epoch: int = 0) -> Iterator[np.ndarray]:
+        """Prefetched batches: per-sample generation on a thread pool (the
+        reference's 16 dataloader workers) with 2 batches kept ahead of the
+        consumer (``model_train_inference.py:255-260`` done host-natively)."""
+        from flowtrain_stochastic_interpolation_tpu.data.prefetch import (
+            parallel_map_batches,
+        )
+
         n_batches = max(self.dataset_size // batch_size, 1)
-        for i in range(n_batches):
-            items = [self[epoch * self.dataset_size + i * batch_size + j] for j in range(batch_size)]
-            yield np.stack(items, axis=0)
+        index_lists = [
+            [epoch * self.dataset_size + i * batch_size + j for j in range(batch_size)]
+            for i in range(n_batches)
+        ]
+        yield from parallel_map_batches(
+            self.__getitem__,
+            index_lists,
+            lambda items: np.stack(items, axis=0),
+            num_workers=self.num_workers,
+            depth=self.prefetch_depth,
+        )
 
 
 def get_dataset(cfg: DataConfig, seed: int = 0):

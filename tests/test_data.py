@@ -63,6 +63,65 @@ def test_native_generator_matches_conventions():
     assert len(batches) == 2 and batches[0].shape == (4, 16, 16, 16)
 
 
+def test_prefetch_order_and_exception():
+    from flowtrain_stochastic_interpolation_tpu.data.prefetch import prefetch
+
+    assert list(prefetch(iter(range(10)), depth=2)) == list(range(10))
+
+    def bad():
+        yield 1
+        raise ValueError("producer broke")
+
+    it = prefetch(bad(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="producer broke"):
+        list(it)
+
+
+def test_geogen_adapter_with_recorded_fixture(monkeypatch):
+    """Drives the real GeoGenDataset adapter (incl. threaded prefetch) against
+    a fake ``geogen`` package backed by recorded samples — the CI-testable
+    stand-in for the external StructuralGeo dependency (SURVEY.md §7)."""
+    import os
+    import sys
+    import types
+
+    import torch
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "geogen_recorded.npz")
+    samples = np.load(fixture)["samples"]  # [8, 16, 16, 16] int32, air=-1
+
+    class FakeStreaming:
+        def __init__(self, model_resolution, model_bounds, dataset_size, device):
+            assert tuple(model_resolution) == (16, 16, 16)
+            self.n = dataset_size
+
+        def __getitem__(self, idx):
+            # reference yields [1, X, Y, Z] torch tensors (SURVEY.md LX row)
+            return torch.from_numpy(samples[idx % len(samples)])[None]
+
+    pkg = types.ModuleType("geogen")
+    mod = types.ModuleType("geogen.dataset")
+    mod.GeoData3DStreamingDataset = FakeStreaming
+    pkg.dataset = mod
+    monkeypatch.setitem(sys.modules, "geogen", pkg)
+    monkeypatch.setitem(sys.modules, "geogen.dataset", mod)
+
+    from flowtrain_stochastic_interpolation_tpu.data.geogen import (
+        GeoGenDataset,
+        geogen_available,
+    )
+
+    assert geogen_available()
+    ds = GeoGenDataset((16, 16, 16), None, dataset_size=8, num_workers=4)
+    batches = list(ds.batches(4, epoch=0))
+    assert len(batches) == 2
+    assert batches[0].shape == (4, 16, 16, 16) and batches[0].dtype == np.int32
+    # adapter preserves sample content and order
+    np.testing.assert_array_equal(batches[0], samples[:4])
+    np.testing.assert_array_equal(batches[1], samples[4:])
+
+
 def test_gaussian_toys():
     g = Gaussian2d(mean=(1.0, -1.0))
     s = g.sample(jax.random.PRNGKey(0), 4096)

@@ -1,0 +1,69 @@
+"""Volume-view figure builders (matplotlib fallback path, no pyvista/GL)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from flowtrain_stochastic_interpolation_tpu.utils import volview as vv
+
+
+@pytest.fixture
+def vol():
+    rng = np.random.default_rng(0)
+    v = rng.integers(-1, 14, size=(16, 16, 16)).astype(np.int32)
+    v[..., -3:] = -1  # air on top
+    return v
+
+
+def test_volume_view_builders(tmp_path, vol):
+    assert os.path.exists(vv.volview(vol, str(tmp_path / "volview.png")))
+    assert os.path.exists(vv.dike_view(vol, str(tmp_path / "dikes.png")))
+    bore = np.where(np.random.default_rng(1).random(vol.shape) < 0.05, vol, -1)
+    assert os.path.exists(vv.model_and_boreholes_figure(
+        vol, bore, str(tmp_path / "mb.png")))
+    assert os.path.exists(vv.realization_sheet(
+        [vol, vol, vol], str(tmp_path / "sheet.png"), rows=1, cols=3))
+    prob = np.random.default_rng(2).random(vol.shape).astype(np.float32)
+    assert os.path.exists(vv.probability_contour_view(
+        prob, str(tmp_path / "contours.png"), observations=vol == 13))
+    assert os.path.exists(vv.sample_row_figure(
+        [vol, vol, vol], str(tmp_path / "row.png")))
+    assert os.path.exists(vv.standalone_scalarbar(str(tmp_path / "bar.png")))
+
+
+def test_paper_figures_app_end_to_end(tmp_path, vol):
+    """apps/paper_figures.py main() over a synthetic scenario directory."""
+    sdir = tmp_path / "exp" / "scenario_0"
+    sdir.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    np.save(sdir / "true_model.npy", vol)
+    np.save(sdir / "boreholes.npy",
+            np.where(rng.random(vol.shape) < 0.05, vol, -1))
+    np.save(sdir / "dike_probability.npy",
+            rng.random(vol.shape).astype(np.float32))
+    np.save(sdir / "entropy_air_masked.npy",
+            rng.random(vol.shape).astype(np.float32))
+    for i in range(3):
+        np.save(sdir / f"sol_{i}.npy", vol)
+
+    import subprocess
+
+    out_dir = tmp_path / "figs"
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "apps", "paper_figures.py"),
+         "--experiments-dir", str(tmp_path / "exp"), "--out-dir", str(out_dir)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    produced = os.listdir(out_dir)
+    for want in ["scenario_0_dike_prob.png", "scenario_0_entropy.png",
+                 "scenario_0_realizations.png", "scenario_0_volview.png",
+                 "scenario_0_dikes_true.png", "scenario_0_model_boreholes.png",
+                 "scenario_0_realization_sheet.png",
+                 "scenario_0_prob_contours.png"]:
+        assert want in produced, f"missing {want}: {produced}"
