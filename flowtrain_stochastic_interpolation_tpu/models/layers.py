@@ -62,10 +62,11 @@ class Conv3DFast(nn.Module):
     """3-D 'SAME' conv that picks the fastest TPU formulation per shape.
 
     Parameter layout is identical to ``nn.Conv`` (``kernel``/``bias``), so
-    checkpoints and the torch converter are unaffected.  Small-channel
-    convolutions (C_out ≤ 96) on even grids run as the numerically-equivalent
-    phase-fat strided conv (:func:`ops.fat_conv.fat_conv3d` — measured 2.5-7×
-    faster at the flagship stage shapes); everything else takes the direct
+    checkpoints and the torch converter are unaffected.  The 7³ init conv on
+    even grids runs as the numerically-equivalent phase-fat strided conv
+    (:func:`ops.fat_conv.fat_conv3d` — measured 2.25× faster at the flagship
+    shape; 3³ convs measured *slower* in fat form and stay direct, see
+    ``use_fat_conv``); everything else takes the direct
     ``lax.conv_general_dilated`` path.
     """
 

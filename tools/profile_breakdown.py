@@ -131,6 +131,38 @@ def main():
     dt = timeit(f, xx)
     print(f"{'dense 64^3 48->384 (qkv)':40s} {dt * 1e3:8.1f} ms")
 
+    # ---- module-level: conv-only vs full block (elementwise overhead) -----
+    from flowtrain_stochastic_interpolation_tpu.models.layers import (
+        Downsample, ResnetBlock, RMSNorm, Upsample,
+    )
+
+    tvec = jax.random.normal(key, (b, 192), jnp.bfloat16)
+    for res, ch in [(64, 48), (32, 48)]:
+        xx = jax.random.normal(key, (b, res, res, res, ch), jnp.bfloat16)
+        # full resblock (2 convs + 2 RMSNorm + FiLM + SiLU + res 1x1)
+        rb = ResnetBlock(ch, 3, dtype=jnp.bfloat16)
+        v = rb.init(jax.random.PRNGKey(0), xx[:1], tvec[:1])
+        f = jax.jit(lambda a, t: rb.apply(v, a, t))
+        dt_rb = timeit(f, xx, tvec)
+        # the two convs alone (same shapes)
+        conv = conv_nd(3, ch, 3, dtype=jnp.bfloat16)
+        vc = conv.init(jax.random.PRNGKey(0), xx[:1])
+        f2 = jax.jit(lambda a: conv.apply(vc, conv.apply(vc, a)))
+        dt_cc = timeit(f2, xx)
+        # RMSNorm alone
+        nrm = RMSNorm(ch, dtype=jnp.bfloat16)
+        vn = nrm.init(jax.random.PRNGKey(0), xx[:1])
+        dt_n = timeit(jax.jit(lambda a: nrm.apply(vn, a)), xx)
+        print(f"{'resblock %d^3 c%d' % (res, ch):40s} {dt_rb * 1e3:8.1f} ms  "
+              f"(2xconv alone {dt_cc * 1e3:6.1f} ms, rmsnorm {dt_n * 1e3:6.1f} ms)")
+
+    for res, cin, cout, Mod in [(64, 48, 48, Downsample), (32, 48, 48, Upsample)]:
+        xx = jax.random.normal(key, (b, res, res, res, cin), jnp.bfloat16)
+        mod = Mod(cout, 3, dtype=jnp.bfloat16)
+        v = mod.init(jax.random.PRNGKey(0), xx[:1])
+        dt = timeit(jax.jit(lambda a: mod.apply(v, a)), xx)
+        print(f"{'%s %d^3 c%d' % (Mod.__name__, res, cin):40s} {dt * 1e3:8.1f} ms")
+
     print()
     print(f"attention share of forward: {(full - results['no attention']) * 1e3:.1f} ms "
           f"({100 * (full - results['no attention']) / full:.0f}%)")
