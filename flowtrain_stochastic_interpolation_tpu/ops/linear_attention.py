@@ -356,13 +356,58 @@ def _folded_vjp_fwd(q, k, v, mem_k, mem_v, heads, block_n):
 
 
 def _folded_vjp_bwd(heads, block_n, res, dout):
-    """Closed-form XLA backward (every intermediate [d,e]-bottlenecked)."""
+    """Closed-form XLA backward in the folded layout.
+
+    Every intermediate is either [N, h·d]-shaped (one pass) or
+    [h·d, h·d]-bottlenecked; the memory tokens are handled as a separate
+    small term — k/v are never concatenated.
+    """
     q, k, v, mem_k, mem_v = res
-    _, vjp = jax.vjp(
-        lambda qq, kk, vv, mk, mv: _folded_reference(qq, kk, vv, mk, mv, heads),
-        q, k, v, mem_k, mem_v,
-    )
-    return vjp(dout)
+    f32 = jnp.float32
+    b, n, hd = q.shape
+    d = hd // heads
+    scale = d**-0.5
+    qf, kf, vf, do = (t.astype(f32) for t in (q, k, v, dout))
+    mkf, mvf = mem_k.astype(f32), mem_v.astype(f32)
+
+    gi = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // d
+    gj = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // d
+    G = (gi == gj).astype(f32)  # block-diagonal ones (head groups)
+
+    # ---- recompute forward pieces ----
+    # q group-softmax via global row shift (any shift valid per group)
+    e_q = jnp.exp(qf - jnp.max(qf, axis=-1, keepdims=True))
+    s_q = e_q / jnp.einsum("bnd,de->bne", e_q, G)  # [b, n, hd]
+
+    # k column softmax over [mem; tokens] without concat
+    M = jnp.maximum(jnp.max(kf, axis=1), jnp.max(mkf, axis=0)[None])  # [b, hd]
+    ek = jnp.exp(kf - M[:, None, :])            # [b, n, hd]
+    em = jnp.exp(mkf[None] - M[:, None, :])     # [b, n_mem, hd]
+    Z = jnp.sum(ek, axis=1) + jnp.sum(em, axis=1)  # [b, hd]
+    p_k = ek / Z[:, None, :]
+    p_m = em / Z[:, None, :]
+
+    ctx = (jnp.einsum("bnd,bne->bde", p_k, vf)
+           + jnp.einsum("bnd,ne->bde", p_m, mvf)) * G[None]
+
+    # ---- backward ----
+    d_s = scale * jnp.einsum("bne,bde->bnd", do, ctx)
+    dq = s_q * (d_s - jnp.einsum("bnd,de->bne", d_s * s_q, G))
+
+    d_ctx = scale * jnp.einsum("bnd,bne->bde", s_q, do) * G[None]
+
+    dv = jnp.einsum("bnd,bde->bne", p_k, d_ctx)
+    dmv = jnp.einsum("bnd,bde->ne", p_m, d_ctx)
+
+    d_pk = jnp.einsum("bne,bde->bnd", vf, d_ctx)       # real tokens
+    d_pm = jnp.einsum("ne,bde->bnd", mvf, d_ctx)       # mem tokens
+    # column-softmax VJP: shared inner product over ALL tokens per column
+    inner = (jnp.sum(d_pk * p_k, axis=1) + jnp.sum(d_pm * p_m, axis=1))  # [b, hd]
+    dk = p_k * (d_pk - inner[:, None, :])
+    dmk = jnp.sum(p_m * (d_pm - inner[:, None, :]), axis=0)
+
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dmk.astype(mem_k.dtype), dmv.astype(mem_v.dtype))
 
 
 _linear_attn_folded.defvjp(_folded_vjp_fwd, _folded_vjp_bwd)

@@ -40,6 +40,10 @@ def main():
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--conditional", action="store_true")
     p.add_argument("--accum", type=int, default=1)
+    p.add_argument("--lr", type=float, default=None,
+                   help="override learning rate (e.g. batch-scaled: the "
+                        "conditional recipe's 1e-3 targets effective batch "
+                        "32; at effective batch 8 it diverges — measured)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
     if args.batch_size is None:
@@ -66,10 +70,13 @@ def main():
     from flowtrain_stochastic_interpolation_tpu.utils.logging import MetricsWriter
 
     config = conditional_64() if args.conditional else unconditional_64()
+    training_overrides = {"accumulate_grad_batches": args.accum}
+    if args.lr is not None:
+        training_overrides["learning_rate"] = args.lr
     config = dataclasses.replace(
         config,
         data=dataclasses.replace(config.data, batch_size=args.batch_size),
-        training=dataclasses.replace(config.training, accumulate_grad_batches=args.accum),
+        training=dataclasses.replace(config.training, **training_overrides),
     )
     model, tx, state = init_train_state(config)
     train_step = make_train_step(model, tx, config)
