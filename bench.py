@@ -52,7 +52,7 @@ BASELINE_SAMPLES_PER_MIN = 0.0301  # reference torch-CPU, NFE=120 (BASELINE.md)
 N_FRAMES = 16
 SUBSTEPS = 2
 NFE = (N_FRAMES - 1) * SUBSTEPS * 4  # = 120 RK4 stages
-BATCH = 8
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 MIN_MEASURE_S = 60.0
 MIN_RUNS = 3
 T0, TF = 0.001, 1.0

@@ -105,23 +105,24 @@ def main():
         flops = 2 * m * k * n * R
 
         # loop R times; keep each result's corner so nothing is DCE'd
+        # vary B (tiny) per rep so reps aren't CSE'd; A streams unmodified
         def xla_loop(a, b):
             acc = jnp.zeros((), jnp.float32)
             for i in range(R):
-                acc += jnp.dot(a * (1.0 + i * 1e-6), b,
+                acc += jnp.dot(a, b * (1.0 + i * 1e-6),
                                preferred_element_type=jnp.float32)[0, 0]
             return acc
 
         def pallas_loop(a, b):
             acc = jnp.zeros((), jnp.float32)
             for i in range(R):
-                acc += pallas_mm(a * (1.0 + i * 1e-6), b)[0, 0].astype(jnp.float32)
+                acc += pallas_mm(a, b * (1.0 + i * 1e-6))[0, 0].astype(jnp.float32)
             return acc
 
         def pallas_t_loop(a, bt):
             acc = jnp.zeros((), jnp.float32)
             for i in range(R):
-                acc += pallas_mm_t(a * (1.0 + i * 1e-6), bt)[0, 0].astype(jnp.float32)
+                acc += pallas_mm_t(a, bt * (1.0 + i * 1e-6))[0, 0].astype(jnp.float32)
             return acc
 
         row = f"[{m}x{k}]@[{k}x{n}] xR{R}:"
