@@ -132,6 +132,33 @@ def test_folded_gradients_match_reference():
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=2e-4)
 
 
+def test_folded_gating_requirements():
+    """The folded kernel must only engage when h·d is a lane multiple and the
+    token count is large; off-TPU (this test) the module must take the einsum
+    path and still produce correct shapes with the same param tree."""
+    from flowtrain_stochastic_interpolation_tpu.models.attention import (
+        LinearAttention,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 8, 16))
+    for folded in (True, False):
+        la = LinearAttention(dim=16, heads=4, dim_head=32, fused_folded=folded)
+        v = la.init(jax.random.PRNGKey(1), x)
+        out = la.apply(v, x)
+        assert out.shape == x.shape
+        assert "mem_kv" in v["params"]
+        assert v["params"]["mem_kv"].shape == (2, 4, 4, 32)
+    # hd not a lane multiple -> ValueError from the kernel entry if forced
+    from flowtrain_stochastic_interpolation_tpu.ops.linear_attention import (
+        linear_attention_folded,
+    )
+
+    q = jnp.zeros((1, 128, 96))
+    with pytest.raises(ValueError, match="multiple of 128"):
+        linear_attention_folded(q, q, q, jnp.zeros((4, 96)), jnp.zeros((4, 96)),
+                                heads=3)
+
+
 def test_module_semantics_match_torch_reference_composition():
     """The einsum path inside LinearAttention equals the standalone reference
     composition (same softmax axes/scale as unet_attn_3d.py:308-341)."""
