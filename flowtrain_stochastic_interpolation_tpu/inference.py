@@ -37,6 +37,7 @@ from flowtrain_stochastic_interpolation_tpu.ops.embedding import (
 from flowtrain_stochastic_interpolation_tpu.solvers import (
     solve_ode,
     solve_ode_adaptive,
+    solve_ode_final,
 )
 
 
@@ -84,13 +85,23 @@ def make_sampler(
             traj, nfe = solve_ode_adaptive(
                 velocity, x0, t0=t0, tf=tf, n_frames=n_frames, atol=atol, rtol=rtol
             )
-        else:
+            final = traj[-1]
+        elif keep_trajectory:
             traj = solve_ode(
                 velocity, x0, t0=t0, tf=tf, n_frames=n_frames,
                 substeps=substeps, method=method,
             )
             nfe = jnp.int32(0)
-        final = traj[-1]
+            final = traj[-1]
+        else:
+            # final-state-only scan: no [n_frames, B, ...] trajectory buffer
+            # in the program (2.4 GB at 128³ — exceeded device memory)
+            final = solve_ode_final(
+                velocity, x0, t0=t0, tf=tf, n_frames=n_frames,
+                substeps=substeps, method=method,
+            )
+            traj = None
+            nfe = jnp.int32(0)
         out = {"decoded": decode(final, table), "nfe": nfe}
         if with_prominence:
             out["prominence"] = prominence(decode_logits(final, table))

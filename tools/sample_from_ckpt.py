@@ -25,6 +25,13 @@ def main():
     p.add_argument("--out", default="/root/repo/artifacts/train_demo")
     p.add_argument("--n-samples", type=int, default=8)
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--shape", type=int, default=None,
+                   help="sampling resolution override (e.g. 128): the UNet is "
+                        "fully convolutional + linear-attention, so 64³-trained "
+                        "weights run at any /16-divisible size")
+    p.add_argument("--ema", action="store_true", help="sample from EMA params")
+    p.add_argument("--no-folded", action="store_true",
+                   help="disable the folded Pallas linear-attention kernel")
     args = p.parse_args()
 
     from flowtrain_stochastic_interpolation_tpu.inference import sample_unconditional
@@ -37,17 +44,24 @@ def main():
     mgr = CheckpointManager(args.ckpt, None)
     config = mgr.load_config()
     assert config is not None, "checkpoint dir has no config.json"
+    if args.no_folded:
+        model_cfg = dataclasses.replace(config.model, fused_folded_attn=False)
+        config = dataclasses.replace(config, model=model_cfg)
     model, _, state = init_train_state(config)
     state = mgr.restore(state)
     print(f"restored step {int(state.step)}")
 
-    variables = {"params": state.params}
+    params = state.params
+    if args.ema and state.ema_params is not None:
+        params = state.ema_params
+    variables = {"params": params}
     if state.constants.get("model"):
         variables["constants"] = state.constants["model"]
+    shape = (args.shape,) * 3 if args.shape else tuple(config.data.shape)
     result = sample_unconditional(
         model, variables, state.constants["embedding"],
         n_samples=args.n_samples, batch_size=args.batch_size,
-        data_shape=config.data.shape, embedding_dim=config.data.embedding_dim,
+        data_shape=shape, embedding_dim=config.data.embedding_dim,
         seed=100, t0=0.001, tf=1.0, n_frames=16, substeps=2, method="rk4",
         with_prominence=True, verbose=True,
     )
