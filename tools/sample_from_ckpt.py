@@ -32,6 +32,9 @@ def main():
     p.add_argument("--ema", action="store_true", help="sample from EMA params")
     p.add_argument("--no-folded", action="store_true",
                    help="disable the folded Pallas linear-attention kernel")
+    p.add_argument("--method", default="rk4",
+                   choices=["euler", "heun", "midpoint", "rk4"])
+    p.add_argument("--substeps", type=int, default=2)
     args = p.parse_args()
 
     from flowtrain_stochastic_interpolation_tpu.inference import sample_unconditional
@@ -62,8 +65,8 @@ def main():
         model, variables, state.constants["embedding"],
         n_samples=args.n_samples, batch_size=args.batch_size,
         data_shape=shape, embedding_dim=config.data.embedding_dim,
-        seed=100, t0=0.001, tf=1.0, n_frames=16, substeps=2, method="rk4",
-        with_prominence=True, verbose=True,
+        seed=100, t0=0.001, tf=1.0, n_frames=16, substeps=args.substeps,
+        method=args.method, with_prominence=True, verbose=True,
     )
     dec = result.decoded - 1
     for i in range(min(4, dec.shape[0])):
