@@ -57,6 +57,26 @@ def test_trajectory_frames_match_exact_solution():
         np.testing.assert_allclose(np.asarray(traj[i]), exact_exp(2.0, t), rtol=1e-5)
 
 
+def test_solve_ode_final_matches_trajectory_end():
+    """solve_ode_final must equal solve_ode(...)[-1] bitwise (same steps, no
+    trajectory buffer — the memory-lean path used by make_sampler)."""
+    from flowtrain_stochastic_interpolation_tpu.solvers import solve_ode_final
+
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (2, 5))
+    for method in ("euler", "rk4"):
+        traj = solve_ode(cosine_field, x0, t0=0.0, tf=1.0, n_frames=5,
+                         substeps=3, method=method)
+        final = solve_ode_final(cosine_field, x0, t0=0.0, tf=1.0, n_frames=5,
+                                substeps=3, method=method)
+        np.testing.assert_array_equal(np.asarray(traj[-1]), np.asarray(final))
+    # frozen mask support parity
+    mask = jnp.asarray([[True, False, False, True, False]] * 2)
+    traj = solve_ode(cosine_field, x0, n_frames=4, substeps=2, frozen_mask=mask)
+    final = solve_ode_final(cosine_field, x0, n_frames=4, substeps=2,
+                            frozen_mask=mask)
+    np.testing.assert_array_equal(np.asarray(traj[-1]), np.asarray(final))
+
+
 def test_adaptive_dopri5_accuracy_and_nfe():
     x0 = jnp.ones((1, 8))
     traj, nfe = solve_ode_adaptive(
