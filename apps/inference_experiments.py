@@ -105,8 +105,18 @@ def load_model_with_ema_option(config, checkpoint_path, use_ema: bool,
 
 
 def populate_solutions(save_dir, model, variables, table, config, args) -> None:
-    """Ensemble sampling per scenario (ref :246-317)."""
+    """Ensemble sampling per scenario (ref :246-317).
+
+    One compiled sampler (ATb as a runtime argument) serves every scenario —
+    a per-scenario closure would re-trace per folder."""
     ic = config.inference
+    from flowtrain_stochastic_interpolation_tpu.inference import make_sampler
+
+    sampler = make_sampler(
+        model, variables, table, conditional=True,
+        t0=ic.t0, tf=ic.tf, n_frames=ic.n_frames,
+        substeps=ic.substeps, method=ic.method,
+    )
     for folder in sorted(os.listdir(save_dir)):
         path = os.path.join(save_dir, folder)
         if not os.path.isdir(path) or not folder.startswith("scenario"):
@@ -118,8 +128,7 @@ def populate_solutions(save_dir, model, variables, table, config, args) -> None:
         result = sample_conditional(
             model, variables, table, atb,
             n_samples=args.n_samples, batch_size=args.batch_size, seed=42,
-            t0=ic.t0, tf=ic.tf, n_frames=ic.n_frames,
-            substeps=ic.substeps, method=ic.method,
+            sampler=sampler,
         )
         for i in range(result.decoded.shape[0]):
             np.save(

@@ -56,6 +56,7 @@ def make_sampler(
     table: Array,
     *,
     atb: Optional[Array] = None,
+    conditional: Optional[bool] = None,
     t0: float = 0.001,
     tf: float = 1.0,
     n_frames: int = 16,
@@ -69,11 +70,14 @@ def make_sampler(
 ):
     """Build a jitted ``sampler(x0[, atb]) -> outputs`` closure.
 
-    When ``atb`` is given (or passed at call time) the velocity is the
+    When ``atb`` is given (or ``conditional=True``) the velocity is the
     conditional net ``net(x, ATb, t)`` (reference ``dxdt_cond`` wrapper,
-    ``model_inference_experiments.py:201-202``).
+    ``model_inference_experiments.py:201-202``).  With ``conditional=True``
+    and no baked ``atb``, the returned callable takes ``(x0, atb_batch)`` —
+    one compiled program serves every scenario (ATb is a runtime argument).
     """
-    conditional = atb is not None
+    if conditional is None:
+        conditional = atb is not None
 
     def run(x0, atb_batch=None):
         if conditional or atb_batch is not None:
@@ -115,7 +119,11 @@ def make_sampler(
         # constant — bloating the executable and, in this environment,
         # exceeding the remote-compile request size limit.
         jitted = jax.jit(run)
-        return lambda x0: jitted(x0, atb)
+        if atb is None:
+            return jitted  # caller passes (x0, atb_batch)
+        return lambda x0, atb_batch=None: jitted(
+            x0, atb if atb_batch is None else atb_batch
+        )
     return jax.jit(run)
 
 
@@ -175,6 +183,7 @@ def sample_conditional(
     batch_size: int,
     seed: int = 42,
     verbose: bool = True,
+    sampler: Optional[Callable] = None,
     **sampler_kwargs,
 ) -> SampleResult:
     """Ensemble generation conditioned on one observation volume ATb.
@@ -182,21 +191,26 @@ def sample_conditional(
     ``atb``: ``[X, Y, Z, E]`` (single scenario); it is batch-expanded like the
     reference (``model_inference_experiments.py:230-239``), and per-batch seeds
     follow the reference's ``seed + i`` convention (``:294-308``).
+
+    Pass ``sampler`` (from ``make_sampler(..., conditional=True)``) to reuse
+    one compiled program across scenarios — a fresh closure per scenario
+    re-traces and re-queries the compile cache (~minutes on the axon tunnel).
     """
     data_shape = atb.shape[:-1]
     e = atb.shape[-1]
-    sampler = None
+    if sampler is None:
+        sampler = make_sampler(
+            model, variables, table, conditional=True, **sampler_kwargs
+        )
     decoded, times = [], []
     n_batches = (n_samples - 1) // batch_size + 1
     for b in range(n_batches):
         bs = min(batch_size, n_samples - b * batch_size)
         atb_b = jnp.broadcast_to(atb[None], (bs, *data_shape, e))
-        if sampler is None or bs != batch_size:
-            sampler = make_sampler(model, variables, table, atb=atb_b, **sampler_kwargs)
         key = jax.random.PRNGKey(seed + b)
         x0 = jax.random.normal(key, (bs, *data_shape, e), jnp.float32)
         t_start = time.perf_counter()
-        out = jax.block_until_ready(sampler(x0))
+        out = jax.block_until_ready(sampler(x0, atb_b))
         times.append(time.perf_counter() - t_start)
         if verbose:
             print(f"batch {b + 1}/{n_batches}: solved in {times[-1]:.2f}s")
