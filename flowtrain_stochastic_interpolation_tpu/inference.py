@@ -67,6 +67,7 @@ def make_sampler(
     rtol: float = 1e-6,
     keep_trajectory: bool = False,
     with_prominence: bool = False,
+    variables_as_arg: bool = False,
 ):
     """Build a jitted ``sampler(x0[, atb]) -> outputs`` closure.
 
@@ -75,15 +76,20 @@ def make_sampler(
     ``model_inference_experiments.py:201-202``).  With ``conditional=True``
     and no baked ``atb``, the returned callable takes ``(x0, atb_batch)`` —
     one compiled program serves every scenario (ATb is a runtime argument).
+
+    ``variables_as_arg=True`` returns ``sampler(variables, x0[, atb_batch])``
+    instead: the params are a runtime argument, so one compiled program
+    serves *changing* weights — required for in-training periodic sampling,
+    where a closure over the current params would recompile every epoch.
     """
     if conditional is None:
         conditional = atb is not None
 
-    def run(x0, atb_batch=None):
+    def run_with(vars_, x0, atb_batch=None):
         if conditional or atb_batch is not None:
-            velocity = lambda x, t: model.apply(variables, x, atb_batch, t)
+            velocity = lambda x, t: model.apply(vars_, x, atb_batch, t)
         else:
-            velocity = lambda x, t: model.apply(variables, x, t)
+            velocity = lambda x, t: model.apply(vars_, x, t)
 
         if adaptive:
             traj, nfe = solve_ode_adaptive(
@@ -113,6 +119,13 @@ def make_sampler(
             out["trajectory"] = traj
         return out
 
+    if variables_as_arg:
+        jitted_v = jax.jit(run_with)
+        if conditional:
+            return jitted_v  # (variables, x0, atb_batch)
+        return lambda vars_, x0: jitted_v(vars_, x0)
+
+    run = lambda x0, atb_batch=None: run_with(variables, x0, atb_batch)
     if conditional:
         # ATb must be a runtime argument: a closed-over concrete array would
         # be baked into the compiled program as a (batch×64³×E ≈ 100 MB)

@@ -76,19 +76,26 @@ class InferenceCallback:
         shape = cfg.data.shape
         e = cfg.data.embedding_dim
         conditional = cfg.model.conditional
-        atb = jnp.zeros((self.n_samples, *shape, e)) if conditional else None
 
-        sampler = make_sampler(
-            self.model, variables, table, atb=atb,
-            t0=cfg.inference.t0, tf=self.tf, n_frames=self.n_frames,
-            substeps=cfg.inference.substeps, method=cfg.inference.method,
-            with_prominence=True,
-        )
+        if getattr(self, "_sampler", None) is None:
+            # params are a runtime argument: ONE compiled program serves the
+            # whole run (a closure over the current weights would embed them
+            # as constants and recompile at every periodic inference)
+            self._sampler = make_sampler(
+                self.model, None, table, conditional=conditional,
+                t0=cfg.inference.t0, tf=self.tf, n_frames=self.n_frames,
+                substeps=cfg.inference.substeps, method=cfg.inference.method,
+                with_prominence=True, variables_as_arg=True,
+            )
         x0 = jax.random.normal(
             jax.random.PRNGKey(self.seed), (self.n_samples, *shape, e)
         )
         t_start = time.perf_counter()
-        out = jax.block_until_ready(sampler(x0))
+        if conditional:
+            atb = jnp.zeros((self.n_samples, *shape, e))
+            out = jax.block_until_ready(self._sampler(variables, x0, atb))
+        else:
+            out = jax.block_until_ready(self._sampler(variables, x0))
         time_to_solve = time.perf_counter() - t_start
 
         decoded = np.asarray(out["decoded"]) - 1
