@@ -43,11 +43,51 @@ def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
     return w
 
 
+# Implementation selector.  The matmul form contracts a [n_out, n_in]
+# matrix on the MXU — exact, but K=n_in/N=n_out are far below the 128-lane
+# sweet spot (measured ~1 TF/s class at the UNet's 64↔32 sizes).  The gather
+# form computes the identical two-tap expression w_lo·x[lo] + w_hi·x[lo+1]
+# with static slices + fma on the VPU — bandwidth-bound, and each term is
+# the same product-sum as the matrix row, so results are bitwise identical
+# in f32.  Measured on TPU v5e (tools/bench_resize.py, b8): gather LOSES
+# 1.2–2.7× at every UNet shape (31.4 vs 11.8 ms/round-trip at 64³↔32³ —
+# XLA's take lowering is slow even with static indices), so the matmul form
+# stays the default.
+_USE_GATHER = False
+
+
+@lru_cache(maxsize=None)
+def _resize_taps(n_in: int, n_out: int):
+    """(lo, w_lo, w_hi) static align-corners taps for one axis."""
+    if n_out == 1 or n_in == 1:
+        lo = np.zeros(n_out, np.int64)
+        return lo, np.ones(n_out, np.float32), np.zeros(n_out, np.float32)
+    src = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    lo = np.clip(np.floor(src).astype(np.int64), 0, n_in - 2)
+    frac = (src - lo).astype(np.float32)
+    return lo, 1.0 - frac, frac
+
+
+def _resize_axis_gather(x: Array, axis: int, n_out: int) -> Array:
+    n_in = x.shape[axis]
+    lo, w_lo, w_hi = _resize_taps(n_in, n_out)
+    shape = [1] * x.ndim
+    shape[axis] = n_out
+    wl = jnp.asarray(w_lo, x.dtype).reshape(shape)
+    wh = jnp.asarray(w_hi, x.dtype).reshape(shape)
+    x_lo = jnp.take(x, jnp.asarray(lo), axis=axis)
+    x_hi = jnp.take(x, jnp.asarray(lo + 1).clip(max=n_in - 1), axis=axis)
+    return x_lo * wl + x_hi * wh
+
+
 def resize_linear_nd(x: Array, out_spatial: tuple, spatial_axes: tuple) -> Array:
     """Align-corners linear resize of the given axes to ``out_spatial`` sizes."""
     for axis, n_out in zip(spatial_axes, out_spatial):
         n_in = x.shape[axis]
         if n_in == n_out:
+            continue
+        if _USE_GATHER:
+            x = _resize_axis_gather(x, axis, n_out)
             continue
         w = jnp.asarray(_resize_matrix(n_in, n_out), dtype=x.dtype)
         x = jnp.tensordot(w, x, axes=((1,), (axis,)))
