@@ -356,6 +356,28 @@ def _folded_vjp_fwd(q, k, v, mem_k, mem_v, heads, block_n):
 
 
 def _folded_vjp_bwd(heads, block_n, res, dout):
+    """Backward for the folded kernel.
+
+    Default: autodiff of the folded XLA reference (proven fast on TPU — the
+    conditional flagship trains at 0.51 s/micro-step with it).  The
+    closed-form variant below is exactness-tested but measured ~10× slower
+    on the conditional train step through this environment's tunnel
+    (8.2 vs 0.8 s/step class — cause not yet isolated), so it is opt-in via
+    ``FLOWTRAIN_CLOSED_FORM_ATTN_VJP=1`` until profiled.
+    """
+    import os
+
+    if os.environ.get("FLOWTRAIN_CLOSED_FORM_ATTN_VJP") == "1":
+        return _folded_vjp_bwd_closed_form(heads, block_n, res, dout)
+    q, k, v, mem_k, mem_v = res
+    _, vjp = jax.vjp(
+        lambda qq, kk, vv, mk, mv: _folded_reference(qq, kk, vv, mk, mv, heads),
+        q, k, v, mem_k, mem_v,
+    )
+    return vjp(dout)
+
+
+def _folded_vjp_bwd_closed_form(heads, block_n, res, dout):
     """Closed-form XLA backward in the folded layout.
 
     Every intermediate is either [N, h·d]-shaped (one pass) or
