@@ -358,23 +358,24 @@ def _folded_vjp_fwd(q, k, v, mem_k, mem_v, heads, block_n):
 def _folded_vjp_bwd(heads, block_n, res, dout):
     """Backward for the folded kernel.
 
-    Default: autodiff of the folded XLA reference (proven fast on TPU — the
-    conditional flagship trains at 0.51 s/micro-step with it).  The
-    closed-form variant below is exactness-tested but measured ~10× slower
-    on the conditional train step through this environment's tunnel
-    (8.2 vs 0.8 s/step class — cause not yet isolated), so it is opt-in via
-    ``FLOWTRAIN_CLOSED_FORM_ATTN_VJP=1`` until profiled.
+    Default: the closed-form VJP — the controlled A/B on the uncond flagship
+    train step (same program, batch 4 × accum 2, warm caches) measured it
+    2.7× faster than autodiff-of-reference (525 vs 1425 ms/micro-step,
+    2026-08-17).  ``FLOWTRAIN_AUTODIFF_ATTN_VJP=1`` switches to the autodiff
+    backward; one *conditional* accum-1 configuration measured anomalously
+    slow with the closed form (8.2 s/step, not yet isolated — see
+    BASELINE.md) and can use the switch while that is profiled.
     """
     import os
 
-    if os.environ.get("FLOWTRAIN_CLOSED_FORM_ATTN_VJP") == "1":
-        return _folded_vjp_bwd_closed_form(heads, block_n, res, dout)
-    q, k, v, mem_k, mem_v = res
-    _, vjp = jax.vjp(
-        lambda qq, kk, vv, mk, mv: _folded_reference(qq, kk, vv, mk, mv, heads),
-        q, k, v, mem_k, mem_v,
-    )
-    return vjp(dout)
+    if os.environ.get("FLOWTRAIN_AUTODIFF_ATTN_VJP") == "1":
+        q, k, v, mem_k, mem_v = res
+        _, vjp = jax.vjp(
+            lambda qq, kk, vv, mk, mv: _folded_reference(qq, kk, vv, mk, mv, heads),
+            q, k, v, mem_k, mem_v,
+        )
+        return vjp(dout)
+    return _folded_vjp_bwd_closed_form(heads, block_n, res, dout)
 
 
 def _folded_vjp_bwd_closed_form(heads, block_n, res, dout):
