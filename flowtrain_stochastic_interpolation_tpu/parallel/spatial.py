@@ -249,7 +249,11 @@ def sharded_linear_attention(
     else:
         vv = v.astype(jnp.float32)
 
-    m = lax.pmax(kf.max(axis=1), axis_name)  # [B, H, D] global per-feature max
+    # Global per-feature max, stability shift only: softmax is invariant to
+    # it, so stop_gradient (as jax.nn.softmax does).  It must wrap the pmax
+    # *operand*: pmax has no differentiation rule, and only all-zero tangents
+    # make autodiff skip it.
+    m = lax.pmax(lax.stop_gradient(kf).max(axis=1), axis_name)  # [B, H, D]
     p = jnp.exp(kf - m[:, None])
     p = jnp.where(jnp.isfinite(kf), p, 0.0)  # masked mem rows contribute 0
     denom = lax.psum(p.sum(axis=1), axis_name)  # [B, H, D]
