@@ -85,7 +85,10 @@ def load_model_with_ema_option(config, checkpoint_path, use_ema: bool,
 
         ckpt = load_lightning_checkpoint(checkpoint_path)
         conv = convert_lightning_module(ckpt, conditional=True, use_ema=use_ema)
-        return model, {"params": conv["params"]}, jnp.asarray(conv["embedding"])
+        variables = {"params": conv["params"]}
+        if conv.get("constants"):  # frozen RandomFourier freqs/phases
+            variables["constants"] = conv["constants"]
+        return model, variables, jnp.asarray(conv["embedding"])
 
     _, _, state = init_train_state(config)
     table = state.constants["embedding"]

@@ -60,7 +60,10 @@ def load_variables(config, checkpoint_path: str | None, dirs: dict, use_ema: boo
         ckpt = load_lightning_checkpoint(checkpoint_path)
         converted = convert_lightning_module(ckpt, conditional=False, use_ema=use_ema)
         table = jnp.asarray(converted["embedding"])
-        return model, {"params": converted["params"]}, table
+        variables = {"params": converted["params"]}
+        if converted.get("constants"):  # frozen RandomFourier freqs/phases
+            variables["constants"] = converted["constants"]
+        return model, variables, table
 
     ckpt_dir = checkpoint_path or dirs["checkpoint_dir"]
     mgr = CheckpointManager(ckpt_dir, None)

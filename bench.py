@@ -22,12 +22,12 @@ hardware it can use in this image): 16.64 s per UNet3D forward at the same
 config ⇒ 0.0301 samples/min at NFE=120 (tools/measure_baseline.py,
 BASELINE.md config 1).
 
-Program structure: one jitted RK4 step (Butcher-tableau stage loop ⇒ a single
-UNet instance in the compiled program) host-looped over the time grid, plus a
-jitted decode.  A fully fused ``lax.scan`` sampler exists in ``solvers/``
-(set ``BENCH_FUSED=1``), but this environment's remote-compile tunnel rejects
-the larger fused program; the per-step dispatch overhead is ~1ms against
-~100ms+ step times, so the figures are equivalent.
+Program structure: the fully fused ``lax.scan`` sampler (noise → 120-NFE RK4
+→ decode in ONE compiled program, no per-step dispatch) is the **default**;
+``BENCH_FUSED=0`` opts out to a host-looped jitted RK4 step, and the code
+falls back to that path automatically if the remote compiler rejects the
+large fused program.  The per-step dispatch overhead is ~1 ms against
+~100 ms+ step times, so the two paths measure equivalently.
 """
 
 from __future__ import annotations

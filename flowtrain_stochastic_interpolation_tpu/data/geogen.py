@@ -11,6 +11,7 @@ Use :func:`get_dataset` to resolve the configured source.
 
 from __future__ import annotations
 
+import threading
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -47,25 +48,43 @@ class GeoGenDataset:
         num_workers: int = 16,
         prefetch_depth: int = 2,
     ):
-        from geogen.dataset import GeoData3DStreamingDataset  # type: ignore
-
-        self._ds = GeoData3DStreamingDataset(
+        self._ctor_kwargs = dict(
             model_resolution=model_resolution,
             model_bounds=model_bounds,
             dataset_size=dataset_size,
             device="cpu",
         )
+        # One GeoData3DStreamingDataset per worker thread.  The reference
+        # isolates generation in DataLoader worker *processes*; GeoGen's
+        # __getitem__ is not documented thread-safe (torch global RNG, model
+        # builders), so sharing one instance across the pool could race.
+        # Per-index determinism is GeoGen's own contract (streaming datasets
+        # derive each sample from its index), so per-thread instances return
+        # identical samples for identical indices.
+        self._local = threading.local()
+        self._local.ds = self._make_ds()  # eager: validate geogen import/config
         self.model_resolution = tuple(model_resolution)
         self.dataset_size = dataset_size
         self.n_categories = n_categories
         self.num_workers = num_workers
         self.prefetch_depth = prefetch_depth
 
+    def _make_ds(self):
+        from geogen.dataset import GeoData3DStreamingDataset  # type: ignore
+
+        return GeoData3DStreamingDataset(**self._ctor_kwargs)
+
+    def _thread_ds(self):
+        ds = getattr(self._local, "ds", None)
+        if ds is None:
+            ds = self._local.ds = self._make_ds()
+        return ds
+
     def __len__(self) -> int:
         return self.dataset_size
 
     def __getitem__(self, idx: int) -> np.ndarray:
-        sample = self._ds[idx]  # [1, X, Y, Z] torch tensor
+        sample = self._thread_ds()[idx]  # [1, X, Y, Z] torch tensor
         return np.asarray(sample.squeeze(0).cpu().numpy(), dtype=np.int32)
 
     def batches(self, batch_size: int, epoch: int = 0) -> Iterator[np.ndarray]:

@@ -24,30 +24,48 @@ def prefetch(it: Iterator[T], depth: int = 2) -> Iterator[T]:
     """Iterate ``it`` on a background thread, keeping ``depth`` items queued.
 
     Exceptions raised by the producer are re-raised at the consuming site.
-    The producer thread is a daemon, so abandoning the iterator (e.g. a
-    ``break``) cannot hang interpreter shutdown.
+    Closing/abandoning the iterator (``break``, ``gen.close()``, one-batch
+    consumers like the pre-train smoke) stops the producer promptly: every
+    ``put`` is a timed poll against a stop flag, so the thread can never
+    stay blocked generating batches nobody will read.  The producer is also
+    a daemon, so even an un-closed iterator cannot hang interpreter shutdown.
     """
     q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
     err: list = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Put with stop-polling; False when the consumer has gone away."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def produce():
         try:
             for item in it:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as exc:  # surfaced on the consumer side
             err.append(exc)
         finally:
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
     thread = threading.Thread(target=produce, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()  # GeneratorExit / break: unblock + stop the producer
 
 
 def parallel_map_batches(
@@ -60,7 +78,9 @@ def parallel_map_batches(
     """Yield stacked batches with per-item parallelism and batch prefetch.
 
     ``load_item(idx)`` runs on a ``num_workers``-thread pool; whole batches
-    are assembled ahead of the consumer up to ``depth`` deep.
+    are assembled ahead of the consumer up to ``depth`` deep.  Closing the
+    iterator cancels queued work instead of letting it compete with training
+    for host CPU.
     """
     pool = ThreadPoolExecutor(max_workers=num_workers)
     try:
@@ -70,4 +90,4 @@ def parallel_map_batches(
 
         yield from prefetch(batches(), depth=depth)
     finally:
-        pool.shutdown(wait=False)
+        pool.shutdown(wait=False, cancel_futures=True)

@@ -78,6 +78,9 @@ class _Mapper:
         self.sd = sd
         self.src_prefix = src_prefix
         self.out: Dict[Tuple[str, ...], np.ndarray] = {}
+        # non-trainable buffers (e.g. frozen RandomFourier freqs/phases) land
+        # in flax's ``constants`` collection, not ``params``
+        self.constants: Dict[Tuple[str, ...], np.ndarray] = {}
         self.used = set()
 
     def _get(self, key: str):
@@ -90,6 +93,9 @@ class _Mapper:
 
     def put(self, dst: str, value: np.ndarray) -> None:
         self.out[tuple(dst.split("/"))] = value
+
+    def put_const(self, dst: str, value: np.ndarray) -> None:
+        self.constants[tuple(dst.split("/"))] = value
 
     # --- module-level mappers -------------------------------------------
     def conv(self, src: str, dst: str, *, dense: bool = False) -> None:
@@ -152,13 +158,24 @@ class _Mapper:
         self.conv(f"{src}.conv2", f"{dst}/conv2")
 
     def time_mlp(self, src: str, dst: str, *, sin_pos: bool, learned: bool) -> None:
-        """time_mlp Sequential(embed, Linear, GELU, Linear) (ref :551-556)."""
+        """time_mlp Sequential(embed, Linear, GELU, Linear) (ref :551-556).
+
+        All three embeddings the reference constructor can build
+        (``unet_attn_3d.py:540-556``) are converted: SinusoidalPosEmb is
+        stateless (nothing to map; select it with ``time_sin_pos=True``),
+        LearnedFourier freqs/phases are trainable params, RandomFourier
+        freqs/phases are frozen buffers (``requires_grad=False``, still in
+        the state dict, ``:181-208``) and go to the ``constants`` collection.
+        ``LearnedSinusoidalPosEmb`` (``:162-178``) is dead code in the
+        reference — no constructor path reaches it — so it has no mapping.
+        """
         if not sin_pos:
             if learned:
                 self.put(f"{dst}/embed/freqs", _np(self._get(f"{src}.0.freqs")))
                 self.put(f"{dst}/embed/phases", _np(self._get(f"{src}.0.phases")))
-            # frozen RandomFourier params land in the constants collection,
-            # handled separately by convert_lightning_module.
+            else:
+                self.put_const(f"{dst}/embed/freqs", _np(self._get(f"{src}.0.freqs")))
+                self.put_const(f"{dst}/embed/phases", _np(self._get(f"{src}.0.phases")))
         self.linear(f"{src}.1", f"{dst}/fc1")
         self.linear(f"{src}.3", f"{dst}/fc2")
 
@@ -179,11 +196,16 @@ def convert_unet3d(
     time_learned_emb: bool = True,
     src_prefix: str = "",
     ndim: int = 3,
-) -> Dict[str, Any]:
+    return_constants: bool = False,
+) -> Any:
     """Torch ``Unet3D``/``Unet2D`` state dict -> flax params dict.
 
     Module order inside each stage follows the reference ModuleLists
     (``unet_attn_3d.py:605-661``): [res1, res2, attn, resample].
+
+    ``return_constants=True`` additionally returns the ``constants``
+    collection (frozen RandomFourier freqs/phases when
+    ``time_learned_emb=False`` and ``time_sin_pos=False``) as a second value.
     """
     m = _Mapper(sd, src_prefix)
     fa = _resolve_full_attn(full_attn, n_stages)
@@ -225,7 +247,10 @@ def convert_unet3d(
 
     m.resnet("final_res_block", "final_res_block")
     m.conv("final_conv", "final_conv", dense=True)
-    return traverse_util.unflatten_dict(m.out)
+    params = traverse_util.unflatten_dict(m.out)
+    if return_constants:
+        return params, traverse_util.unflatten_dict(m.constants)
+    return params
 
 
 def convert_unet3d_cond(
@@ -238,7 +263,8 @@ def convert_unet3d_cond(
     time_learned_emb: bool = True,
     src_prefix: str = "",
     variant: str = "v3",
-) -> Dict[str, Any]:
+    return_constants: bool = False,
+) -> Any:
     """Torch ``Unet3DCond`` state dict -> flax params dict.
 
     Stage ModuleList layouts per variant:
@@ -309,7 +335,10 @@ def convert_unet3d_cond(
 
     m.resnet("final_res_block", "final_res_block")
     m.conv("final_conv", "final_conv", dense=True)
-    return traverse_util.unflatten_dict(m.out)
+    params = traverse_util.unflatten_dict(m.out)
+    if return_constants:
+        return params, traverse_util.unflatten_dict(m.constants)
+    return params
 
 
 def load_lightning_checkpoint(path: str) -> Dict[str, Any]:
@@ -334,9 +363,12 @@ def convert_lightning_module(
 ) -> Dict[str, Any]:
     """Full conversion of a reference Lightning checkpoint.
 
-    Returns ``{"params": ..., "embedding": np.ndarray [n_cats, E]}`` ready for
-    the training/inference apps.  ``use_ema=True`` substitutes the persisted
-    EMA shadow weights (``model_inference_experiments.py:387-403`` semantics).
+    Returns ``{"params": ..., "constants": ..., "embedding": [n_cats, E]}``
+    ready for the training/inference apps; ``constants`` holds the frozen
+    RandomFourier freqs/phases when the checkpoint was trained with
+    ``time_learned_emb=False`` (empty otherwise).  ``use_ema=True``
+    substitutes the persisted EMA shadow weights
+    (``model_inference_experiments.py:387-403`` semantics).
     """
     sd = dict(ckpt["state_dict"])
     if use_ema and ckpt.get("ema_shadow"):
@@ -350,7 +382,7 @@ def convert_lightning_module(
     ) if k in hp}
     n_stages = len(hp.get("dim_mults", (1, 1, 2, 3, 4)))
     convert = convert_unet3d_cond if conditional else convert_unet3d
-    params = convert(
+    params, constants = convert(
         sd,
         n_stages=n_stages,
         full_attn=mp.get("full_attn"),
@@ -358,6 +390,7 @@ def convert_lightning_module(
         time_sin_pos=mp.get("time_sin_pos", False),
         time_learned_emb=mp.get("time_learned_emb", True),
         src_prefix="net.",
+        return_constants=True,
     )
     embedding = _np(sd["embedding.weight"])
-    return {"params": params, "embedding": embedding}
+    return {"params": params, "constants": constants, "embedding": embedding}

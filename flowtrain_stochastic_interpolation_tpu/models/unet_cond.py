@@ -58,14 +58,24 @@ class EmbedATb(nn.Module):
     scale_factor: float = 1.0
     kernel: int = 5
     dtype: Dtype = None
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         if self.scale_factor != 1.0:
-            x = resize3d(x, self.scale_factor)
-        x = conv_nd(3, self.dim_out, self.kernel, dtype=self.dtype, name="conv1")(x)
+            if self.spatial_axis is not None:
+                from flowtrain_stochastic_interpolation_tpu.parallel.spatial import (
+                    sharded_resize3d,
+                )
+
+                x = sharded_resize3d(x, self.scale_factor, self.spatial_axis)
+            else:
+                x = resize3d(x, self.scale_factor)
+        x = conv_nd(3, self.dim_out, self.kernel, dtype=self.dtype, name="conv1",
+                    spatial_axis=self.spatial_axis)(x)
         x = nn.silu(x)
-        return conv_nd(3, self.dim_out, self.kernel, dtype=self.dtype, name="conv2")(x)
+        return conv_nd(3, self.dim_out, self.kernel, dtype=self.dtype, name="conv2",
+                       spatial_axis=self.spatial_axis)(x)
 
 
 class MixATb(nn.Module):
@@ -82,6 +92,7 @@ class MixATb(nn.Module):
     time_film: bool = True
     use_norm: bool = True
     dtype: Dtype = None
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, atb: Array, t: Optional[Array]) -> Array:
@@ -92,11 +103,13 @@ class MixATb(nn.Module):
             tv = tv.reshape(tv.shape[0], 1, 1, 1, tv.shape[-1])
             scale, shift = jnp.split(tv, 2, axis=-1)
             h = h * (scale + 1.0) + shift
-        h = conv_nd(3, self.dim, 3, dtype=self.dtype, name="conv1")(h)
+        h = conv_nd(3, self.dim, 3, dtype=self.dtype, name="conv1",
+                    spatial_axis=self.spatial_axis)(h)
         if self.use_norm:
             h = RMSNorm(self.dim, dtype=self.dtype, name="norm")(h)
         h = nn.silu(h)
-        h = conv_nd(3, self.dim, 3, dtype=self.dtype, name="conv2")(h)
+        h = conv_nd(3, self.dim, 3, dtype=self.dtype, name="conv2",
+                    spatial_axis=self.spatial_axis)(h)
         return h + x
 
 
@@ -124,6 +137,7 @@ class UNet3DCond(nn.Module):
     fused_folded_attn: bool = True  # head-folded Pallas linear attention
     variant: str = "v3"
     dtype: Dtype = None
+    spatial_axis: Optional[str] = None  # X sharded over this mesh axis (shard_map)
 
     @property
     def downsample_factor(self) -> int:
@@ -133,7 +147,8 @@ class UNet3DCond(nn.Module):
         if not self.attn_enabled:
             return None
         klass = Attention if full else LinearAttention
-        kwargs = dict(dim=dim, heads=heads, dim_head=dim_head, dtype=self.dtype, name=name)
+        kwargs = dict(dim=dim, heads=heads, dim_head=dim_head, dtype=self.dtype,
+                      name=name, spatial_axis=self.spatial_axis)
         if full:
             kwargs["flash"] = self.flash_attn
         else:
@@ -171,7 +186,8 @@ class UNet3DCond(nn.Module):
 
         # open ATb once with a 7^3 conv at data width (cond_v3:626-628,778)
         atb_opened = conv_nd(
-            3, self.data_channels, 7, dtype=self.dtype, name="init_conv_ATb"
+            3, self.data_channels, 7, dtype=self.dtype, name="init_conv_ATb",
+            spatial_axis=self.spatial_axis,
         )(atb)
 
         if self.self_condition:
@@ -179,7 +195,8 @@ class UNet3DCond(nn.Module):
                 x_self_cond = jnp.zeros_like(x)
             x = jnp.concatenate([x_self_cond, x], axis=-1)
 
-        x = conv_nd(3, self.dim, 7, dtype=self.dtype, name="init_conv_x")(x)
+        x = conv_nd(3, self.dim, 7, dtype=self.dtype, name="init_conv_x",
+                    spatial_axis=self.spatial_axis)(x)
         r = x
 
         t = TimeMLP(
@@ -193,7 +210,8 @@ class UNet3DCond(nn.Module):
         )(time.astype(compute_dtype))
 
         res = lambda dim_out, name: ResnetBlock(
-            dim_out, 3, dropout=self.dropout, dtype=self.dtype, name=name
+            dim_out, 3, dropout=self.dropout, dtype=self.dtype, name=name,
+            spatial_axis=self.spatial_axis,
         )
 
         def fuse(x, t, dim, scale, name):
@@ -201,12 +219,14 @@ class UNet3DCond(nn.Module):
             atb_scaled = EmbedATb(
                 dim, scale_factor=scale, kernel=embed_kernel,
                 dtype=self.dtype, name=f"{name}_embed",
+                spatial_axis=self.spatial_axis,
             )(atb_opened)
             if self.variant == "v1":
                 return x + atb_scaled  # additive (cond v1 forward :744-747)
             return MixATb(
                 dim, time_film=mix_time_film, use_norm=self.variant == "v3",
                 dtype=self.dtype, name=f"{name}_mix",
+                spatial_axis=self.spatial_axis,
             )(x, atb_scaled, t)
 
         skips = []
@@ -221,9 +241,11 @@ class UNet3DCond(nn.Module):
                 x = attn(x) + x
             skips.append(x)
             if not is_last:
-                x = Downsample(dim_out, dtype=self.dtype, name=f"downs_{i}_downsample")(x)
+                x = Downsample(dim_out, dtype=self.dtype, name=f"downs_{i}_downsample",
+                               spatial_axis=self.spatial_axis)(x)
             else:
-                x = conv_nd(3, dim_out, 3, dtype=self.dtype, name=f"downs_{i}_downsample")(x)
+                x = conv_nd(3, dim_out, 3, dtype=self.dtype, name=f"downs_{i}_downsample",
+                            spatial_axis=self.spatial_axis)(x)
 
         mid_dim = dims[-1]
         x = res(mid_dim, "mid_block1")(x, t, deterministic=deterministic)
@@ -246,9 +268,11 @@ class UNet3DCond(nn.Module):
             if attn is not None:
                 x = attn(x) + x
             if not is_last:
-                x = Upsample(dim_in, dtype=self.dtype, name=f"ups_{i}_upsample")(x)
+                x = Upsample(dim_in, dtype=self.dtype, name=f"ups_{i}_upsample",
+                             spatial_axis=self.spatial_axis)(x)
             else:
-                x = conv_nd(3, dim_in, 3, dtype=self.dtype, name=f"ups_{i}_upsample")(x)
+                x = conv_nd(3, dim_in, 3, dtype=self.dtype, name=f"ups_{i}_upsample",
+                            spatial_axis=self.spatial_axis)(x)
 
         x = jnp.concatenate([x, r], axis=-1)
         x = res(self.dim, "final_res_block")(x, t, deterministic=deterministic)

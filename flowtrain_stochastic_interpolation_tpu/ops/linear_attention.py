@@ -262,14 +262,29 @@ def _folded_context_kernel(k_ref, v_ref, mk_ref, mv_ref, ctx_ref,
         ctx_ref[0] = jnp.where(gi == gj, ctx, 0.0).astype(ctx_ref.dtype)
 
 
+def _group_max(q: Array, heads: int, dim_head: int) -> Array:
+    """Per-head-group row max of a folded ``[rows, heads·dim_head]`` tile.
+
+    A *global* row max is a valid softmax shift per group but underflows a
+    group whose logits sit ~88+ below another head's in the same row (exp()
+    → 0 in f32 ⇒ denominator 0 ⇒ NaN).  ``heads`` is static and small, so
+    static lane slices + per-group max keep every group's shift tight.
+    """
+    parts = [
+        jnp.max(q[:, h * dim_head:(h + 1) * dim_head], axis=-1, keepdims=True)
+        for h in range(heads)
+    ]
+    return jnp.concatenate(
+        [jnp.broadcast_to(p, (q.shape[0], dim_head)) for p in parts], axis=-1
+    )
+
+
 def _folded_project_kernel(q_ref, ctx_ref, o_ref, *,
                            heads: int, dim_head: int, scale: float):
     """out = groupsoftmax(q) · scale @ ctx  (ctx already block-diagonal)."""
     hd = heads * dim_head
     q = q_ref[0].astype(jnp.float32)  # [bq, hd]
-    # global row max is a valid shift for every per-group softmax
-    m = jnp.max(q, axis=-1, keepdims=True)
-    e = jnp.exp(q - m)
+    e = jnp.exp(q - _group_max(q, heads, dim_head))
     gi = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim_head
     gj = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim_head
     ones_bd = jnp.where(gi == gj, 1.0, 0.0).astype(jnp.float32)
@@ -398,8 +413,10 @@ def _folded_vjp_bwd_closed_form(heads, block_n, res, dout):
     G = (gi == gj).astype(f32)  # block-diagonal ones (head groups)
 
     # ---- recompute forward pieces ----
-    # q group-softmax via global row shift (any shift valid per group)
-    e_q = jnp.exp(qf - jnp.max(qf, axis=-1, keepdims=True))
+    # q group-softmax with a per-head shift (same underflow guard as the
+    # forward kernel's _group_max; a global row shift can zero a whole group)
+    m_q = jnp.max(qf.reshape(b, n, heads, d), axis=-1, keepdims=True)
+    e_q = jnp.exp(qf - jnp.broadcast_to(m_q, (b, n, heads, d)).reshape(b, n, hd))
     s_q = e_q / jnp.einsum("bnd,de->bne", e_q, G)  # [b, n, hd]
 
     # k column softmax over [mem; tokens] without concat

@@ -8,6 +8,11 @@ sharding annotations — no process groups, no explicit collectives in user
 code (SURVEY.md §2.6).
 """
 
+from flowtrain_stochastic_interpolation_tpu.parallel.distributed import (
+    host_local_batch_to_global,
+    is_primary,
+    maybe_initialize,
+)
 from flowtrain_stochastic_interpolation_tpu.parallel.mesh import (
     batch_sharding,
     create_mesh,
@@ -22,4 +27,7 @@ __all__ = [
     "replicate_sharding",
     "shard_batch",
     "spatial_shardings",
+    "maybe_initialize",
+    "is_primary",
+    "host_local_batch_to_global",
 ]

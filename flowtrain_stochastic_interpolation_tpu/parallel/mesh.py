@@ -56,10 +56,18 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a (pytree of) host array(s) with the batch axis sharded on ``data``."""
-    return jax.tree.map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
+    """Place a (pytree of) host array(s) with the batch axis sharded on ``data``.
+
+    Multi-host aware: under ``jax.distributed`` each process passes its *own*
+    per-host slice of the global batch and the global array is assembled via
+    ``make_array_from_process_local_data`` (``parallel/distributed.py``);
+    single-host reduces to a plain ``device_put``.
+    """
+    from flowtrain_stochastic_interpolation_tpu.parallel.distributed import (
+        host_local_batch_to_global,
     )
+
+    return host_local_batch_to_global(batch, lambda ndim: batch_sharding(mesh, ndim))
 
 
 def spatial_shardings(mesh: Mesh, ndim: int) -> NamedSharding:

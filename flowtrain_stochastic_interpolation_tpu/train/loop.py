@@ -24,7 +24,11 @@ from flowtrain_stochastic_interpolation_tpu.config import ExperimentConfig
 from flowtrain_stochastic_interpolation_tpu.data.geogen import get_dataset
 from flowtrain_stochastic_interpolation_tpu.models import UNet3D, UNet3DCond
 from flowtrain_stochastic_interpolation_tpu.ops.embedding import simplex_embedding
-from flowtrain_stochastic_interpolation_tpu.parallel import create_mesh, shard_batch
+from flowtrain_stochastic_interpolation_tpu.parallel import (
+    create_mesh,
+    is_primary,
+    shard_batch,
+)
 from flowtrain_stochastic_interpolation_tpu.train.checkpoint import CheckpointManager
 from flowtrain_stochastic_interpolation_tpu.train.state import (
     TrainState,
@@ -35,8 +39,13 @@ from flowtrain_stochastic_interpolation_tpu.train.steps import make_train_step
 from flowtrain_stochastic_interpolation_tpu.utils.logging import MetricsWriter
 
 
-def build_model(config: ExperimentConfig):
-    """Instantiate the configured UNet (conditional or not)."""
+def build_model(config: ExperimentConfig, spatial_axis=None):
+    """Instantiate the configured UNet (conditional or not).
+
+    ``spatial_axis``: mesh axis name for explicit X-sharded execution under
+    ``shard_map`` (``parallel/spatial.py``); None for the single-device /
+    GSPMD-annotation paths.
+    """
     mc = config.model
     dtype = {"bfloat16": jnp.bfloat16, "float32": None}.get(mc.dtype, None)
     common = dict(
@@ -58,8 +67,8 @@ def build_model(config: ExperimentConfig):
         dtype=dtype,
     )
     if mc.conditional:
-        return UNet3DCond(**common, variant=mc.cond_variant)
-    return UNet3D(**common)
+        return UNet3DCond(**common, variant=mc.cond_variant, spatial_axis=spatial_axis)
+    return UNet3D(**common, spatial_axis=spatial_axis)
 
 
 def init_train_state(config: ExperimentConfig, mesh=None) -> tuple:
@@ -190,9 +199,13 @@ def train(
             host_metrics = {k: float(v) for k, v in metrics.items()}
             host_metrics["step"] = step
             history.append(host_metrics)
-            if writer:
+            # host-side artifacts are primary-process-only under multi-host
+            # (jax.distributed); orbax saves below run on EVERY process —
+            # checkpoints are coordinated internally and a primary-only call
+            # would deadlock the rest (parallel/distributed.py::is_primary).
+            if writer and is_primary():
                 writer.write(step, host_metrics)
-            if callback:
+            if callback and is_primary():
                 callback(step, state, host_metrics)
 
         if mgr and step % config.training.checkpoint_every_steps == 0:

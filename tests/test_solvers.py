@@ -171,3 +171,27 @@ def test_solver_wrapper_api():
 def test_solvers_are_jittable():
     f = jax.jit(lambda x0: solve_ode(linear_field, x0, n_frames=4, substeps=2)[-1])
     np.testing.assert_allclose(np.asarray(f(jnp.ones((1, 2)))), np.exp(-1), rtol=1e-2)
+
+
+def test_rk4_lean_matches_tableau():
+    """The memory-lean accumulator RK4 (default) must track the generic
+    tableau RK4 to ~1 ulp/step accumulation: identical stage states, only the
+    final weighted sum associates differently (solvers/__init__.py)."""
+    key = jax.random.PRNGKey(11)
+    x0 = jax.random.normal(key, (2, 8, 8, 3))
+
+    def field(x, t):
+        tb = t.reshape(t.shape[0], *([1] * (x.ndim - 1)))
+        return -x * (1.0 + 0.5 * jnp.sin(3.0 * tb))
+
+    lean = solve_ode(field, x0, t0=0.001, tf=1.0, n_frames=16, substeps=2,
+                     method="rk4")
+    tab = solve_ode(field, x0, t0=0.001, tf=1.0, n_frames=16, substeps=2,
+                    method="rk4_tableau")
+    np.testing.assert_allclose(np.asarray(lean), np.asarray(tab),
+                               rtol=2e-5, atol=2e-6)
+    # one step, nearly bitwise (single final-sum rounding difference)
+    lean1 = solve_ode(field, x0, n_frames=2, substeps=1, method="rk4")
+    tab1 = solve_ode(field, x0, n_frames=2, substeps=1, method="rk4_tableau")
+    np.testing.assert_allclose(np.asarray(lean1), np.asarray(tab1),
+                               rtol=2e-7, atol=2e-7)
