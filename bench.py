@@ -64,7 +64,26 @@ TRAIN_ACCUM = 2
 TRAIN_EFFECTIVE_STEPS = 3
 
 
-def measure_sampling() -> dict:
+# TPU v5e bf16 matmul peak per chip (the flagship computes in bf16).  MFU =
+# achieved model FLOP/s (XLA cost analysis of the compiled sampler, which
+# counts every op in the program) / this peak.
+PEAK_TFLOPS_BF16 = 197.0
+
+
+def _program_flops(jitted, *args) -> float:
+    """Total FLOPs for one call, from XLA's own cost analysis (0.0 if the
+    backend doesn't expose it)."""
+    try:
+        analysis = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def measure_sampling(batch: int, min_measure_s: float = MIN_MEASURE_S,
+                     min_runs: int = MIN_RUNS) -> dict:
     from flowtrain_stochastic_interpolation_tpu.config import unconditional_64
     from flowtrain_stochastic_interpolation_tpu.ops.embedding import (
         decode,
@@ -82,14 +101,15 @@ def measure_sampling() -> dict:
     e = config.data.embedding_dim
 
     key = jax.random.PRNGKey(100)
-    x_init = jnp.zeros((BATCH, *shape, e), jnp.float32)
-    t_init = jnp.zeros((BATCH,), jnp.float32)
+    x_init = jnp.zeros((batch, *shape, e), jnp.float32)
+    t_init = jnp.zeros((batch,), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x_init, t_init)
     table = jnp.asarray(simplex_embedding(config.data.num_categories, e))
 
     def velocity(x, t):
         return model.apply(variables, x, t)
 
+    flops_per_run = 0.0
     if os.environ.get("BENCH_FUSED") != "0":
         # single compiled program: noise -> 120-NFE RK4 (final-state-only
         # scan) -> decode.  No per-step dispatch (~50 ms tunnel roundtrip
@@ -97,7 +117,7 @@ def measure_sampling() -> dict:
         # environment's remote compiler rejects the large program.
         @jax.jit
         def sample(key):
-            x0 = jax.random.normal(key, (BATCH, *shape, e), jnp.float32)
+            x0 = jax.random.normal(key, (batch, *shape, e), jnp.float32)
             final = solve_ode_final(velocity, x0, t0=T0, tf=TF,
                                     n_frames=N_FRAMES, substeps=SUBSTEPS,
                                     method="rk4")
@@ -111,6 +131,7 @@ def measure_sampling() -> dict:
         try:
             run(key)  # compile probe
             fused_ok = True
+            flops_per_run = _program_flops(sample, key)
         except Exception as exc:
             import sys
 
@@ -130,7 +151,7 @@ def measure_sampling() -> dict:
 
         @jax.jit
         def init_noise(key):
-            return jax.random.normal(key, (BATCH, *shape, e), jnp.float32)
+            return jax.random.normal(key, (batch, *shape, e), jnp.float32)
 
         decode_j = jax.jit(lambda x: decode(x, table))
 
@@ -144,26 +165,38 @@ def measure_sampling() -> dict:
             int(decoded.sum())
             return decoded
 
+        flops_per_run = _program_flops(
+            step, x_init, jnp.asarray(T0, jnp.float32)
+        ) * (N_FRAMES - 1) * SUBSTEPS
+
     run(key)  # warmup / compile
 
-    # time-targeted: full runs until >= MIN_MEASURE_S measured and >= MIN_RUNS
+    # time-targeted: full runs until >= min_measure_s measured and >= min_runs
     rates = []
     total = 0.0
     i = 0
-    while total < MIN_MEASURE_S or len(rates) < MIN_RUNS:
+    while total < min_measure_s or len(rates) < min_runs:
         t0 = time.perf_counter()
         run(jax.random.fold_in(key, i))
         dt = time.perf_counter() - t0
-        rates.append(BATCH / dt * 60.0)
+        rates.append(batch / dt * 60.0)
         total += dt
         i += 1
 
-    return {
-        "samples_per_min": statistics.median(rates),
+    med = statistics.median(rates)
+    out = {
+        "samples_per_min": med,
         "spread": [min(rates), max(rates)],
         "n_runs": len(rates),
         "measured_s": total,
+        "ms_per_sample": 60_000.0 / med,
     }
+    if flops_per_run > 0:
+        # med samples/min => med/60/batch runs/sec => FLOP/s
+        achieved = flops_per_run * (med / 60.0 / batch)
+        out["mfu"] = achieved / (PEAK_TFLOPS_BF16 * 1e12)
+        out["program_tflops_per_run"] = flops_per_run / 1e12
+    return out
 
 
 def measure_train() -> dict:
@@ -209,7 +242,7 @@ def measure_train() -> dict:
 
 
 def main() -> None:
-    sampling = measure_sampling()
+    sampling = measure_sampling(BATCH)
     record = {
         "metric": f"uncond_64cubed_samples_per_min_nfe{NFE}",
         "value": round(sampling["samples_per_min"], 3),
@@ -220,7 +253,24 @@ def main() -> None:
         "spread": [round(v, 3) for v in sampling["spread"]],
         "n_runs": sampling["n_runs"],
         "measured_s": round(sampling["measured_s"], 1),
+        "ms_per_sample": round(sampling["ms_per_sample"], 1),
     }
+    if "mfu" in sampling:
+        record["mfu"] = round(sampling["mfu"], 4)
+        record["peak_tflops_bf16"] = PEAK_TFLOPS_BF16
+        record["program_tflops_per_run"] = round(
+            sampling["program_tflops_per_run"], 2
+        )
+    # batch-scaling row (VERDICT r2 weak #4): one b16 measurement — does
+    # samples/min rise with batch on one chip?  Opt out with BENCH_SKIP_B16=1
+    # (cache kept warm in-repo so the driver pays ~1 extra run, not a compile).
+    if os.environ.get("BENCH_SKIP_B16") != "1" and BATCH != 16:
+        try:
+            b16 = measure_sampling(16, min_measure_s=0.0, min_runs=1)
+            record["b16_samples_per_min"] = round(b16["samples_per_min"], 3)
+            record["b16_mfu"] = round(b16["mfu"], 4) if "mfu" in b16 else None
+        except Exception as exc:  # e.g. b16 exceeds single-chip HBM
+            record["b16_error"] = f"{type(exc).__name__}: {exc}"[:200]
     if os.environ.get("BENCH_SKIP_TRAIN") != "1":
         try:
             train = measure_train()

@@ -38,6 +38,8 @@ class GeoGenDataset:
     device)`` (``model_train_inference.py:249-254``).
     """
 
+    host_side = True  # numpy batches generated on host CPU workers
+
     def __init__(
         self,
         model_resolution: Tuple[int, int, int],

@@ -57,6 +57,7 @@ class LinearAttention(nn.Module):
     num_mem_kv: int = 4
     fused: bool = False  # v1 per-head Pallas kernel: measured slower, opt-in
     fused_folded: bool = True  # v2 head-folded Pallas kernel: measured faster
+    folded_vjp: Optional[str] = None  # "closed_form" | "autodiff" | None=env default
     dtype: Dtype = None
     spatial_axis: Optional[str] = None
 
@@ -98,7 +99,7 @@ class LinearAttention(nn.Module):
             fold_mem = lambda t: t.transpose(1, 0, 2).reshape(self.num_mem_kv, hidden)
             out = linear_attention_folded(
                 qf, kf, vf, fold_mem(mem_kv[0]), fold_mem(mem_kv[1]),
-                heads=self.heads,
+                heads=self.heads, backward=self.folded_vjp,
             )
             out = out.reshape(b, *spatial, hidden)
             out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)

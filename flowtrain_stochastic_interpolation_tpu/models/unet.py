@@ -98,6 +98,7 @@ class UNet(nn.Module):
     full_attn: Optional[Sequence[bool]] = None
     flash_attn: bool = True
     fused_folded_attn: bool = True  # head-folded Pallas linear attention
+    folded_attn_vjp: Optional[str] = None  # trace-time backward choice
     dtype: Dtype = None
     # Mesh axis name for explicit spatial (context) parallelism: when set the
     # model must run inside shard_map with the X axis sharded over this mesh
@@ -120,6 +121,7 @@ class UNet(nn.Module):
             kwargs["flash"] = self.flash_attn
         else:
             kwargs["fused_folded"] = self.fused_folded_attn
+            kwargs["folded_vjp"] = self.folded_attn_vjp
         return klass(**kwargs)
 
     @nn.compact

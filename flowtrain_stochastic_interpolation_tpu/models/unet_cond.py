@@ -135,6 +135,7 @@ class UNet3DCond(nn.Module):
     full_attn: Optional[Sequence[bool]] = None
     flash_attn: bool = True
     fused_folded_attn: bool = True  # head-folded Pallas linear attention
+    folded_attn_vjp: Optional[str] = None  # trace-time backward choice
     variant: str = "v3"
     dtype: Dtype = None
     spatial_axis: Optional[str] = None  # X sharded over this mesh axis (shard_map)
@@ -153,6 +154,7 @@ class UNet3DCond(nn.Module):
             kwargs["flash"] = self.flash_attn
         else:
             kwargs["fused_folded"] = self.fused_folded_attn
+            kwargs["folded_vjp"] = self.folded_attn_vjp
         return klass(**kwargs)
 
     @nn.compact

@@ -21,7 +21,8 @@ plain XLA — it reads q/k/v once more but allocates nothing N×N-sized.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+import os
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -361,29 +362,36 @@ def _folded_reference(q, k, v, mem_k, mem_v, heads):
     return out.reshape(b, n, hd).astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _linear_attn_folded(q, k, v, mem_k, mem_v, heads: int, block_n: int):
+# Env default for the folded backward, read ONCE at import: the VJP body
+# runs at TRACE time, so a late env flip after first compile would silently
+# do nothing — a module constant makes the trace-time nature explicit.
+# Prefer the per-call/config switch: ``linear_attention_folded(backward=...)``
+# / ``ModelConfig.attn_folded_vjp``.
+_AUTODIFF_VJP_ENV_DEFAULT = os.environ.get("FLOWTRAIN_AUTODIFF_ATTN_VJP") == "1"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _linear_attn_folded(q, k, v, mem_k, mem_v, heads: int, block_n: int,
+                        autodiff_bwd: bool):
     return _folded_fwd(q, k, v, mem_k, mem_v, heads, block_n)
 
 
-def _folded_vjp_fwd(q, k, v, mem_k, mem_v, heads, block_n):
+def _folded_vjp_fwd(q, k, v, mem_k, mem_v, heads, block_n, autodiff_bwd):
     return _folded_fwd(q, k, v, mem_k, mem_v, heads, block_n), (q, k, v, mem_k, mem_v)
 
 
-def _folded_vjp_bwd(heads, block_n, res, dout):
+def _folded_vjp_bwd(heads, block_n, autodiff_bwd, res, dout):
     """Backward for the folded kernel.
 
     Default: the closed-form VJP — the controlled A/B on the uncond flagship
     train step (same program, batch 4 × accum 2, warm caches) measured it
     2.7× faster than autodiff-of-reference (525 vs 1425 ms/micro-step,
-    2026-08-17).  ``FLOWTRAIN_AUTODIFF_ATTN_VJP=1`` switches to the autodiff
-    backward; one *conditional* accum-1 configuration measured anomalously
-    slow with the closed form (8.2 s/step, not yet isolated — see
-    BASELINE.md) and can use the switch while that is profiled.
+    2026-08-17).  The r2 conditional 8.2 s anomaly no longer reproduces with
+    the per-head-shift backward (tools/diagnose_vjp_anomaly.py; BASELINE.md
+    r3 record); ``autodiff_bwd`` (a trace-time static) keeps the A/B
+    switchable per call.
     """
-    import os
-
-    if os.environ.get("FLOWTRAIN_AUTODIFF_ATTN_VJP") == "1":
+    if autodiff_bwd:
         q, k, v, mem_k, mem_v = res
         _, vjp = jax.vjp(
             lambda qq, kk, vv, mk, mv: _folded_reference(qq, kk, vv, mk, mv, heads),
@@ -455,16 +463,28 @@ _linear_attn_folded.defvjp(_folded_vjp_fwd, _folded_vjp_bwd)
 
 def linear_attention_folded(q: Array, k: Array, v: Array,
                             mem_k: Array, mem_v: Array, *, heads: int,
-                            block_n: int = 1024) -> Array:
+                            block_n: int = 1024,
+                            backward: Optional[str] = None) -> Array:
     """Fused linear attention on head-folded ``[B, N, h·d]`` tensors.
 
     ``mem_k``/``mem_v`` are the ``[n_mem, h·d]`` learnable memory-KV tokens,
     folded the same way and shared across the batch.  Requires ``h·d`` to be a
     multiple of 128 (lane width) — the flagship config's 4×32 = 128 exactly.
     Semantics match ``unet_attn_3d.py:284-341``.
+
+    ``backward``: "closed_form" (default; measured 2.7× faster) or
+    "autodiff"; None defers to the ``FLOWTRAIN_AUTODIFF_ATTN_VJP`` env var
+    *as read at import time* (trace-time static — flipping the env after
+    first compile has no effect; pass the argument or set
+    ``ModelConfig.attn_folded_vjp`` instead).
     """
     b, n, hd = q.shape
     if hd % 128 != 0:
         raise ValueError(f"folded head dim {hd} must be a multiple of 128")
+    if backward not in (None, "closed_form", "autodiff"):
+        raise ValueError(f"unknown backward {backward!r}")
+    autodiff_bwd = (
+        _AUTODIFF_VJP_ENV_DEFAULT if backward is None else backward == "autodiff"
+    )
     block_n = min(block_n, _round_up(n, 128))
-    return _linear_attn_folded(q, k, v, mem_k, mem_v, heads, block_n)
+    return _linear_attn_folded(q, k, v, mem_k, mem_v, heads, block_n, autodiff_bwd)

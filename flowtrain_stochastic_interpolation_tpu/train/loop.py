@@ -64,6 +64,7 @@ def build_model(config: ExperimentConfig, spatial_axis=None):
         full_attn=mc.full_attn,
         flash_attn=mc.flash_attn,
         fused_folded_attn=mc.fused_folded_attn,
+        folded_attn_vjp=mc.attn_folded_vjp,
         dtype=dtype,
     )
     if mc.conditional:
@@ -171,16 +172,37 @@ def train(
     t_after_first = None  # set after step 1 completes: excludes compile
     step = start_step
     epoch = start_step // steps_per_epoch
-    batch_iter = dataset.batches(batch_size, epoch=epoch)
+
+    def device_batches(epoch_idx):
+        """Generate + place batches one step ahead of the consumer.
+
+        For HOST-side sources (GeoGen/numpy: ``dataset.host_side``) a
+        prefetch thread overlaps generation and the host→device transfer
+        with the in-flight train step (the reference gets the same overlap
+        from DataLoader workers).  Device-generated sources (synthetic) are
+        already async device work — threading them adds nothing and
+        cross-thread dispatch can wedge the single-session axon TPU client
+        (observed: tiny CLI train stalled >14 min), so they stay inline.
+        """
+        def put_all():
+            for b in dataset.batches(batch_size, epoch=epoch_idx):
+                yield shard_batch(jnp.asarray(b), mesh)
+
+        if getattr(dataset, "host_side", True):
+            from flowtrain_stochastic_interpolation_tpu.data.prefetch import prefetch
+
+            return prefetch(put_all(), depth=2)
+        return put_all()
+
+    batch_iter = device_batches(epoch)
 
     while step < start_step + total_steps:
         try:
             batch = next(batch_iter)
         except StopIteration:
             epoch += 1
-            batch_iter = dataset.batches(batch_size, epoch=epoch)
+            batch_iter = device_batches(epoch)
             continue
-        batch = shard_batch(jnp.asarray(batch), mesh)
         state, metrics = train_step(state, batch, key)
         step += 1
         if t_after_first is None:
