@@ -302,3 +302,45 @@ def test_unet_spatial_axis_grads_match_unsharded():
             np.asarray(leaf_s), np.asarray(leaf_r), rtol=5e-4, atol=5e-5,
             err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}",
         )
+
+
+def test_make_spatial_sampler_matches_unsharded():
+    """Full sampling pipeline (ODE integration + decode) under the spatial
+    mesh == the single-device ``make_sampler`` pipeline."""
+    from flowtrain_stochastic_interpolation_tpu.inference import (
+        make_sampler,
+        make_spatial_sampler,
+    )
+    from flowtrain_stochastic_interpolation_tpu.ops.embedding import simplex_embedding
+
+    cfg = dict(
+        dim=8, dim_mults=(1, 2), data_channels=6, dropout=0.0,
+        time_resolution=16, time_bandwidth=10.0, time_learned_emb=True,
+        attn_dim_head=4, attn_heads=2, flash_attn=False,
+    )
+    table = jnp.asarray(simplex_embedding(5, 6))
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 8, 8, 6))
+
+    plain = UNet3D(**cfg)
+    t_init = jnp.asarray([0.3, 0.7])
+    variables = plain.init(jax.random.PRNGKey(4), x0, t_init)
+
+    ref = make_sampler(
+        plain, variables, table, n_frames=3, substeps=1, method="rk4",
+        with_prominence=True,
+    )(x0)
+
+    mesh = _mesh()
+    sharded_model = UNet3D(**cfg, spatial_axis="spatial")
+    sampler = make_spatial_sampler(
+        sharded_model, variables, table, mesh,
+        n_frames=3, substeps=1, method="rk4", with_prominence=True,
+    )
+    x0_sh = jax.device_put(x0, NamedSharding(mesh, P("data", "spatial")))
+    out = sampler(x0_sh)
+
+    np.testing.assert_array_equal(np.asarray(out["decoded"]), np.asarray(ref["decoded"]))
+    np.testing.assert_allclose(
+        np.asarray(out["prominence"]), np.asarray(ref["prominence"]),
+        rtol=2e-4, atol=2e-4,
+    )
