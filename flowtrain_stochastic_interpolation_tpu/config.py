@@ -84,6 +84,10 @@ class TrainingConfig:
     x1_noise: float = 1e-3
     lambda_reconstruct: float = 1.0  # conditional only
     remat: bool = False  # rematerialise the forward in backward (fit larger batches)
+    # under remat, save the conditioning-tower (EmbedATb) tensors instead of
+    # recomputing them — their k=5 conv recompute carries a 2.7×-padded XLA
+    # lowering temp that dominated the cond-b4 OOM dump (docs/roofline.md)
+    remat_save_atb: bool = True
     log_every_n_steps: int = 5
     seed: int = 0
     checkpoint_every_steps: int = 1000

@@ -62,6 +62,15 @@ class EmbedATb(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        # The conv operands are tagged for the remat policy: under full-forward
+        # rematerialisation the recompute of these k=5 convs materialises an
+        # XLA lowering temp with ~2.7× tile-padding expansion (1.4 GB at 64³
+        # b4 — the largest temp in the cond-b4 OOM dump, docs/roofline.md).
+        # Saving the three stage-sized tensors instead (policy
+        # save_only_these_names("atb_tower"), train/steps.py) keeps the
+        # backward free of the tower recompute entirely.
+        from jax.ad_checkpoint import checkpoint_name
+
         if self.scale_factor != 1.0:
             if self.spatial_axis is not None:
                 from flowtrain_stochastic_interpolation_tpu.parallel.spatial import (
@@ -71,11 +80,13 @@ class EmbedATb(nn.Module):
                 x = sharded_resize3d(x, self.scale_factor, self.spatial_axis)
             else:
                 x = resize3d(x, self.scale_factor)
+        x = checkpoint_name(x, "atb_tower")
         x = conv_nd(3, self.dim_out, self.kernel, dtype=self.dtype, name="conv1",
                     spatial_axis=self.spatial_axis)(x)
-        x = nn.silu(x)
-        return conv_nd(3, self.dim_out, self.kernel, dtype=self.dtype, name="conv2",
-                       spatial_axis=self.spatial_axis)(x)
+        x = checkpoint_name(nn.silu(x), "atb_tower")
+        out = conv_nd(3, self.dim_out, self.kernel, dtype=self.dtype, name="conv2",
+                      spatial_axis=self.spatial_axis)(x)
+        return checkpoint_name(out, "atb_tower")
 
 
 class MixATb(nn.Module):

@@ -127,3 +127,32 @@ def test_data_parallel_8_devices():
     # params stay replicated
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+@pytest.mark.parametrize("save_atb", [True, False])
+def test_remat_matches_no_remat(save_atb):
+    """Rematerialised conditional step == plain step (losses + grad_norm).
+
+    Covers the save-the-EmbedATb-towers policy (remat_save_atb) that keeps
+    the k=5 conv recompute (and its 2.7×-padded lowering temp,
+    docs/roofline.md) out of the backward program."""
+    batch = synthetic_geology_batch(jax.random.PRNGKey(0), 4, (8, 8, 8))
+    key = jax.random.PRNGKey(1)
+
+    metrics = {}
+    for label, overrides in {
+        "plain": dict(remat=False),
+        "remat": dict(remat=True, remat_save_atb=save_atb),
+    }.items():
+        cfg = tiny_config(conditional=True, **overrides)
+        mesh = create_mesh(1)
+        model, tx, state = init_train_state(cfg, mesh)
+        step_fn = make_train_step(model, tx, cfg)
+        _, m = step_fn(state, batch, key)
+        metrics[label] = jax.tree.map(np.asarray, m)
+
+    for k in metrics["plain"]:
+        np.testing.assert_allclose(
+            metrics["remat"][k], metrics["plain"][k], rtol=1e-5, atol=1e-6,
+            err_msg=k,
+        )
