@@ -344,3 +344,41 @@ def test_make_spatial_sampler_matches_unsharded():
         np.asarray(out["prominence"]), np.asarray(ref["prominence"]),
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_make_spatial_sampler_conditional_matches_unsharded():
+    """Conditional (ATb-driven) spatial sampling == single-device pipeline."""
+    from flowtrain_stochastic_interpolation_tpu.inference import (
+        make_sampler,
+        make_spatial_sampler,
+    )
+    from flowtrain_stochastic_interpolation_tpu.models import UNet3DCond
+    from flowtrain_stochastic_interpolation_tpu.ops.embedding import simplex_embedding
+
+    cfg = dict(
+        dim=8, dim_mults=(1, 2), data_channels=6, dropout=0.0,
+        time_resolution=16, time_bandwidth=10.0, time_learned_emb=True,
+        attn_dim_head=4, attn_heads=2, flash_attn=False,
+    )
+    table = jnp.asarray(simplex_embedding(5, 6))
+    x0 = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 8, 8, 6))
+    atb = jax.random.normal(jax.random.PRNGKey(6), (2, 16, 8, 8, 6)) * 0.3
+
+    plain = UNet3DCond(**cfg)
+    t_init = jnp.asarray([0.3, 0.7])
+    variables = plain.init(jax.random.PRNGKey(4), x0, atb, t_init)
+
+    ref = make_sampler(
+        plain, variables, table, conditional=True,
+        n_frames=3, substeps=1, method="rk4",
+    )(x0, atb)
+
+    mesh = _mesh()
+    sharded_model = UNet3DCond(**cfg, spatial_axis="spatial")
+    sampler = make_spatial_sampler(
+        sharded_model, variables, table, mesh, conditional=True,
+        n_frames=3, substeps=1, method="rk4",
+    )
+    sh = NamedSharding(mesh, P("data", "spatial"))
+    out = sampler(jax.device_put(x0, sh), jax.device_put(atb, sh))
+    np.testing.assert_array_equal(np.asarray(out["decoded"]), np.asarray(ref["decoded"]))
