@@ -42,6 +42,11 @@ def main():
     p.add_argument("--preset", choices=["flagship", "tiny"], default="flagship")
     args = p.parse_args()
 
+    # multi-host (pod) wiring — must run before anything touches the XLA
+    # backend; no-op without coordinator/SLURM configuration (README runbook)
+    from flowtrain_stochastic_interpolation_tpu.parallel import maybe_initialize
+
+    maybe_initialize()
     config = conditional_64() if args.preset == "flagship" else tiny_test(conditional=True)
     dirs = setup_directories(args.root_dir, config.name)
     print(f"devices={jax.devices()}")

@@ -200,6 +200,11 @@ def resolve_devices(spec: str):
 
 def main():
     args = parse_arguments()
+    # multi-host (pod) wiring — must run before anything touches the XLA
+    # backend; no-op without coordinator/SLURM configuration (README runbook)
+    from flowtrain_stochastic_interpolation_tpu.parallel import maybe_initialize
+
+    maybe_initialize()
     config = unconditional_64() if args.preset == "flagship" else tiny_test()
     dirs = setup_directories(args.root_dir, config.name)
     print(f"mode={args.mode} devices={jax.devices()}")

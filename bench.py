@@ -169,7 +169,8 @@ def measure_sampling(batch: int, min_measure_s: float = MIN_MEASURE_S,
             step, x_init, jnp.asarray(T0, jnp.float32)
         ) * (N_FRAMES - 1) * SUBSTEPS
 
-    run(key)  # warmup / compile
+    if not fused_ok:
+        run(key)  # warmup / compile (the fused path already ran its probe)
 
     # time-targeted: full runs until >= min_measure_s measured and >= min_runs
     rates = []

@@ -98,8 +98,16 @@ class GeoGenDataset:
         )
 
         n_batches = max(self.dataset_size // batch_size, 1)
+        # per-host disjoint index blocks: the global batch under multi-host is
+        # process_count × batch_size rows (make_array_from_process_local_data),
+        # so each process must draw from its own block — (epoch, process) maps
+        # to a unique stride of dataset_size indices.  Single-host (the CI
+        # form) reduces to the plain epoch * dataset_size + i layout.
+        import jax as _jax
+
+        block = epoch * _jax.process_count() + _jax.process_index()
         index_lists = [
-            [epoch * self.dataset_size + i * batch_size + j for j in range(batch_size)]
+            [block * self.dataset_size + i * batch_size + j for j in range(batch_size)]
             for i in range(n_batches)
         ]
         yield from parallel_map_batches(

@@ -44,29 +44,40 @@ def maybe_initialize(
     Returns True when distributed mode was (or already is) initialised; False
     for plain single-host runs — callers need no branches, every downstream
     helper degrades gracefully at ``process_count() == 1``.
+
+    Must run before anything touches the XLA backend, so this function itself
+    makes NO JAX calls when deciding (``jax.process_count()`` would initialise
+    the local backend and make a later ``jax.distributed.initialize`` raise).
+    A launcher that already initialised distributed mode is detected by
+    catching the double-initialise error.
     """
-    if jax.process_count() > 1:
-        return True  # already initialised by the launcher
+    def _init(**kwargs) -> bool:
+        try:
+            jax.distributed.initialize(**kwargs)
+        except RuntimeError as e:
+            # double call: the launcher (or a previous maybe_initialize)
+            # already wired the coordination service — that's success
+            if "already" in str(e) or "once" in str(e):
+                return True
+            raise
+        return True
 
     if coordinator_address is not None:
-        jax.distributed.initialize(
+        return _init(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-        return True
 
     if os.environ.get(_COORD_ENV):
-        jax.distributed.initialize(
+        return _init(
             coordinator_address=os.environ[_COORD_ENV],
             num_processes=_int_env("JAX_NUM_PROCESSES", num_processes),
             process_id=_int_env("JAX_PROCESS_ID", process_id),
         )
-        return True
 
     if int(os.environ.get("SLURM_NTASKS", "1")) > 1:
-        jax.distributed.initialize()  # SLURM auto-detection
-        return True
+        return _init()  # SLURM auto-detection
 
     return False
 

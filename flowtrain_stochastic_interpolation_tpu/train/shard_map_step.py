@@ -29,7 +29,10 @@ from flowtrain_stochastic_interpolation_tpu.train.objectives import (
     unconditional_loss,
 )
 from flowtrain_stochastic_interpolation_tpu.train.state import TrainState, ema_update
-from flowtrain_stochastic_interpolation_tpu.train.steps import make_apply_fn
+from flowtrain_stochastic_interpolation_tpu.train.steps import (
+    make_apply_fn,
+    remat_policy,
+)
 
 
 def make_shard_map_train_step(model, tx, config: ExperimentConfig, mesh: Mesh):
@@ -170,10 +173,7 @@ def _make_spatial_loss(model, config: ExperimentConfig, mesh: Mesh):
                 deterministic=False, rngs={"dropout": k_drop},
             )
             if tc.remat:
-                f = jax.checkpoint(
-                    f,
-                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-                )
+                f = jax.checkpoint(f, policy=remat_policy(tc, conditional))
             return f(p, *args)
 
         n_tot = labels.size * x1.shape[-1] * n_dev  # global element count
@@ -220,12 +220,14 @@ def _spatial_in_specs(conditional: bool):
     return (P(), batch_spec, P())
 
 
-def make_spatial_loss_and_grad(model, config: ExperimentConfig, mesh: Mesh):
-    """``f(state, labels[, mask], key) -> (loss, metrics, grads)`` under the
-    spatial mesh — the testable core of :func:`make_spatial_train_step`."""
+def _make_per_device_grads(model, config: ExperimentConfig, mesh: Mesh):
+    """Shared per-device body: ``(state, labels, mask, key) -> (loss, metrics,
+    grads)`` with grads already reduced — the single source of truth for the
+    spatial gradient assembly (both the testable loss-and-grad entry and the
+    production train step wrap it)."""
     loss_fn, conditional = _make_spatial_loss(model, config, mesh)
 
-    def per_device(state, labels, mask, key):
+    def per_device_grads(state, labels, mask, key):
         key = jax.random.fold_in(key, state.step)
         di = jax.lax.axis_index("data")
         si = jax.lax.axis_index("spatial")
@@ -241,6 +243,14 @@ def make_spatial_loss_and_grad(model, config: ExperimentConfig, mesh: Mesh):
         # (tests/test_shard_map.py pins this against the unsharded objective).
         grads = lax.pmean(grads, ("data", "spatial"))
         return loss, metrics, grads
+
+    return per_device_grads, conditional
+
+
+def make_spatial_loss_and_grad(model, config: ExperimentConfig, mesh: Mesh):
+    """``f(state, labels[, mask], key) -> (loss, metrics, grads)`` under the
+    spatial mesh — the testable core of :func:`make_spatial_train_step`."""
+    per_device, conditional = _make_per_device_grads(model, config, mesh)
 
     sharded = jax.shard_map(
         per_device, mesh=mesh,
@@ -265,23 +275,10 @@ def make_spatial_train_step(model, tx, config: ExperimentConfig, mesh: Mesh):
     pmean'd over both axes (see the note in the per-device body), so every
     device applies the identical update.
     """
-    loss_fn, conditional = _make_spatial_loss(model, config, mesh)
+    per_device_grads, conditional = _make_per_device_grads(model, config, mesh)
 
     def per_device(state: TrainState, labels, mask, key):
-        key = jax.random.fold_in(key, state.step)
-        di = jax.lax.axis_index("data")
-        si = jax.lax.axis_index("spatial")
-        (loss, metrics), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, state.constants, labels, mask, key, di, si),
-            has_aux=True,
-        )(state.params)
-        # pmean, not psum: every device seeds the SAME psum-assembled global
-        # loss with cotangent 1, and the psum transpose is itself a psum, so
-        # each per-device gradient already carries an n_devices factor (the 8
-        # simultaneous reverse passes mix through the transposed collectives).
-        # The mean over devices recovers the exact global gradient
-        # (tests/test_shard_map.py pins this against the unsharded objective).
-        grads = lax.pmean(grads, ("data", "spatial"))
+        _, metrics, grads = per_device_grads(state, labels, mask, key)
         metrics["grad_norm"] = optax.global_norm(grads)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -44,6 +44,24 @@ def make_apply_fn(model, conditional: bool) -> Callable:
     return apply_fn
 
 
+def remat_policy(tc, conditional: bool):
+    """Checkpoint policy for full-forward rematerialisation.
+
+    Base: keep contraction results without batch dims (time-MLP weights-side
+    dots).  Conditional models additionally save the EmbedATb tower tensors
+    (``checkpoint_name("atb_tower")`` in ``models/unet_cond.py``) so backward
+    never re-runs the k=5 convs whose lowering temp pads 2.7× on the TPU tile
+    grid (docs/roofline.md "EmbedATb conv5 remat temp").
+    """
+    policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if conditional and tc.remat_save_atb:
+        policy = jax.checkpoint_policies.save_from_both_policies(
+            policy,
+            jax.checkpoint_policies.save_only_these_names("atb_tower"),
+        )
+    return policy
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -68,21 +86,11 @@ def make_train_step(
                 # full-forward rematerialisation: backward recomputes the UNet
                 # instead of keeping ~57 conv activations at 64³ in HBM
                 # (jax.checkpoint — SURVEY.md build brief, HBM-bandwidth notes)
-                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                if conditional and tc.remat_save_atb:
-                    # keep the EmbedATb tower tensors (3 stage-sized arrays per
-                    # tower) so backward never re-runs the k=5 convs whose
-                    # lowering temp pads 2.7× on the TPU tile grid
-                    # (docs/roofline.md "EmbedATb conv5 remat temp")
-                    policy = jax.checkpoint_policies.save_from_both_policies(
-                        policy,
-                        jax.checkpoint_policies.save_only_these_names("atb_tower"),
-                    )
                 fwd = jax.checkpoint(
                     lambda p_, *a: apply_raw(
                         p_, model_constants, *a, deterministic=deterministic, rngs=rngs
                     ),
-                    policy=policy,
+                    policy=remat_policy(tc, conditional),
                 )
                 return fwd(p, *args)
             return apply_raw(p, model_constants, *args, deterministic=deterministic, rngs=rngs)

@@ -34,7 +34,8 @@ jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
-def measure(conditional: bool, batch: int, steps: int) -> dict:
+def measure(conditional: bool, batch: int, steps: int,
+            backward: str = "closed_form") -> dict:
     from flowtrain_stochastic_interpolation_tpu.config import (
         conditional_64,
         unconditional_64,
@@ -48,6 +49,7 @@ def measure(conditional: bool, batch: int, steps: int) -> dict:
     config = conditional_64() if conditional else unconditional_64()
     config = dataclasses.replace(
         config,
+        model=dataclasses.replace(config.model, attn_folded_vjp=backward),
         data=dataclasses.replace(config.data, batch_size=batch),
         training=dataclasses.replace(
             config.training, accumulate_grad_batches=1, remat=False
@@ -84,32 +86,26 @@ def main() -> None:
                    help="comma list of config names to run (default: all)")
     args = p.parse_args()
 
-    backend_env = "FLOWTRAIN_AUTODIFF_ATTN_VJP"
     configs = [
-        # name, conditional, batch, autodiff_vjp
-        ("cond_b2_closed", True, 2, False),     # the reported 8.2 s config
-        ("cond_b2_autodiff", True, 2, True),    # backward swapped, else same
-        ("uncond_b2_closed", False, 2, False),  # conditional factor removed
-        ("cond_b4_closed", True, 4, False),     # batch factor removed
+        # name, conditional, batch, backward — the backward choice rides the
+        # trace-time config field (ModelConfig.attn_folded_vjp), NOT the env
+        # var: FLOWTRAIN_AUTODIFF_ATTN_VJP is frozen at module import and
+        # flipping it mid-process would silently measure the same program.
+        ("cond_b2_closed", True, 2, "closed_form"),   # the reported 8.2 s config
+        ("cond_b2_autodiff", True, 2, "autodiff"),    # backward swapped, else same
+        ("uncond_b2_closed", False, 2, "closed_form"),  # conditional factor removed
+        ("cond_b4_closed", True, 4, "closed_form"),   # batch factor removed
     ]
     results = {}
-    for name, conditional, batch, autodiff in configs:
+    for name, conditional, batch, backward in configs:
         if args.only and name not in args.only.split(","):
             continue
-        # env var is read at trace time inside the VJP — set before any
-        # compile of this config; each config is a fresh program anyway
-        # (different shapes/graphs)
-        if autodiff:
-            os.environ[backend_env] = "1"
-        else:
-            os.environ.pop(backend_env, None)
-        r = measure(conditional, batch, args.steps)
+        r = measure(conditional, batch, args.steps, backward=backward)
         r["config"] = name
         results[name] = r
         print(json.dumps(r), flush=True)
 
     if args.trace_dir and "cond_b2_closed" in results:
-        os.environ.pop(backend_env, None)
         from flowtrain_stochastic_interpolation_tpu.utils.profiling import trace
 
         with trace(args.trace_dir):
