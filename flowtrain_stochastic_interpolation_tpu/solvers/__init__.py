@@ -169,7 +169,11 @@ def solve_ode(
     if method not in _STEPPERS:
         raise ValueError(f"unknown method {method!r}; options: {sorted(_STEPPERS)}")
     stepper, _ = _STEPPERS[method]
-    f = lambda x, t: _masked(velocity_fn(x, t), frozen_mask)
+    # velocity cast to the state dtype: keeps the scan carry stable when
+    # integrating in reduced precision (bf16 state halves the persistent
+    # x/k/acc buffers -- the 128^3 RK4 single-chip memory lever) while a
+    # float32 state is untouched (astype is a no-op there)
+    f = lambda x, t: _masked(velocity_fn(x, t), frozen_mask).astype(x.dtype)
 
     dtype = x0.dtype
     frame_ts = jnp.linspace(t0, tf, n_frames, dtype=dtype)
@@ -208,7 +212,11 @@ def solve_ode_final(
     if method not in _STEPPERS:
         raise ValueError(f"unknown method {method!r}; options: {sorted(_STEPPERS)}")
     stepper, _ = _STEPPERS[method]
-    f = lambda x, t: _masked(velocity_fn(x, t), frozen_mask)
+    # velocity cast to the state dtype: keeps the scan carry stable when
+    # integrating in reduced precision (bf16 state halves the persistent
+    # x/k/acc buffers -- the 128^3 RK4 single-chip memory lever) while a
+    # float32 state is untouched (astype is a no-op there)
+    f = lambda x, t: _masked(velocity_fn(x, t), frozen_mask).astype(x.dtype)
 
     dtype = x0.dtype
     frame_ts = jnp.linspace(t0, tf, n_frames, dtype=dtype)

@@ -78,3 +78,17 @@ def test_sample_conditional_end_to_end():
         n_frames=3, substeps=1, method="euler", verbose=False,
     )
     assert result.decoded.shape == (3, 8, 8, 8)
+
+
+def test_bfloat16_state_sampling_matches_float32():
+    """bf16 integration state (the 128³ RK4 single-chip memory lever): the
+    scan carry stays bf16 end-to-end (velocity cast in the solver) and the
+    categorical decode agrees with the f32-state pipeline for nearly every
+    voxel."""
+    model, variables, table = _uncond()
+    sampler = make_sampler(model, variables, table,
+                           n_frames=4, substeps=1, method="rk4")
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 8, 15), jnp.float32)
+    ref = np.asarray(sampler(x0)["decoded"])
+    bf = np.asarray(sampler(x0.astype(jnp.bfloat16))["decoded"])
+    assert (ref == bf).mean() > 0.97, (ref == bf).mean()

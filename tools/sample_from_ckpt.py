@@ -16,6 +16,7 @@ _CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -35,6 +36,11 @@ def main():
     p.add_argument("--method", default="rk4",
                    choices=["euler", "heun", "midpoint", "rk4"])
     p.add_argument("--substeps", type=int, default=2)
+    p.add_argument("--state-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="dtype of the integrated state: bfloat16 halves the "
+                        "persistent x/k/acc buffers (fits RK4 at 128³ on one "
+                        "chip; ~99%% decode agreement vs float32)")
     args = p.parse_args()
 
     from flowtrain_stochastic_interpolation_tpu.inference import sample_unconditional
@@ -67,6 +73,7 @@ def main():
         data_shape=shape, embedding_dim=config.data.embedding_dim,
         seed=100, t0=0.001, tf=1.0, n_frames=16, substeps=args.substeps,
         method=args.method, with_prominence=True, verbose=True,
+        state_dtype=jnp.bfloat16 if args.state_dtype == "bfloat16" else jnp.float32,
     )
     dec = result.decoded - 1
     for i in range(min(4, dec.shape[0])):
