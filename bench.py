@@ -131,7 +131,19 @@ def measure_sampling(batch: int, min_measure_s: float = MIN_MEASURE_S,
         try:
             run(key)  # compile probe
             fused_ok = True
-            flops_per_run = _program_flops(sample, key)
+            # FLOPs from a single-step program × step count: XLA cost
+            # analysis counts a lax.scan body ONCE regardless of trip count,
+            # so analysing the fused program under-reports ~30× (observed:
+            # mfu 0.0043 vs the ~0.13 the roofline accounts for).  The step
+            # program equals the fallback path's and is persistent-cached.
+            rk4_step = _STEPPERS["rk4"][0]
+            h_cost = (TF - T0) / ((N_FRAMES - 1) * SUBSTEPS)
+            step_for_cost = jax.jit(
+                lambda x, t: rk4_step(velocity, x, t, jnp.asarray(h_cost, jnp.float32))
+            )
+            flops_per_run = _program_flops(
+                step_for_cost, x_init, jnp.asarray(T0, jnp.float32)
+            ) * (N_FRAMES - 1) * SUBSTEPS
         except Exception as exc:
             import sys
 
