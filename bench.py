@@ -241,6 +241,10 @@ def measure_train() -> dict:
     state, metrics = train_step(state, batch, key)  # compile
     float(metrics["train_loss"])
 
+    # micro-step program FLOPs (fwd+bwd+update; no lax.scan over the model
+    # inside one micro-step, so XLA's cost analysis counts it fully)
+    train_flops = _program_flops(train_step, state, batch, key)
+
     n_micro = TRAIN_EFFECTIVE_STEPS * TRAIN_ACCUM
     t0 = time.perf_counter()
     for i in range(n_micro):
@@ -248,10 +252,15 @@ def measure_train() -> dict:
         float(metrics["train_loss"])  # scalar fence per micro-step
     dt = time.perf_counter() - t0
 
-    return {
+    out = {
         "train_steps_per_sec_b8": TRAIN_EFFECTIVE_STEPS / dt,
         "train_micro_step_ms": dt / n_micro * 1000.0,
     }
+    if train_flops > 0:
+        out["train_mfu"] = (train_flops * n_micro / dt) / (
+            PEAK_TFLOPS_BF16 * 1e12
+        )
+    return out
 
 
 def main() -> None:
@@ -291,6 +300,8 @@ def main() -> None:
                 train["train_steps_per_sec_b8"], 4
             )
             record["train_micro_step_ms"] = round(train["train_micro_step_ms"], 1)
+            if "train_mfu" in train:
+                record["train_mfu"] = round(train["train_mfu"], 4)
         except Exception as exc:  # train measurement must not sink the bench
             record["train_error"] = f"{type(exc).__name__}: {exc}"[:200]
     print(json.dumps(record))
