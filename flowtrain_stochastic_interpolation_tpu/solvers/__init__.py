@@ -38,8 +38,15 @@ VelocityFn = Callable[[Array, Array], Array]  # (x [B,...], t [B]) -> dx/dt
 
 
 def _batch_time(x: Array, t: Array) -> Array:
-    """Expand scalar time to a per-sample [B] vector (model API takes [B])."""
-    return jnp.full((x.shape[0],), t, dtype=x.dtype)
+    """Expand scalar time to a per-sample [B] vector (model API takes [B]).
+
+    Times are kept at >= float32 regardless of the state dtype: they are
+    O(B) scalars, and the model's time conditioning (Fourier features with
+    bandwidth ~1000, reference ``unet_attn_3d.py:181-218``) is sensitive at
+    bf16's ~2^-8 ulp.  Only the integration *state* benefits from bf16.
+    """
+    dtype = jnp.promote_types(jnp.result_type(t), jnp.float32)
+    return jnp.full((x.shape[0],), t, dtype=dtype)
 
 
 def _masked(dxdt: Array, frozen_mask: Optional[Array]) -> Array:
@@ -49,7 +56,7 @@ def _masked(dxdt: Array, frozen_mask: Optional[Array]) -> Array:
 
 
 def _euler_step(f: VelocityFn, x: Array, t: Array, h: Array) -> Array:
-    return x + h * f(x, _batch_time(x, t))
+    return x + h.astype(x.dtype) * f(x, _batch_time(x, t))
 
 
 # Explicit-RK Butcher tableaux (A lower-triangular, b weights, c nodes).
@@ -86,17 +93,18 @@ def _make_tableau_step(a, b, c):
     s = b.shape[0]
 
     def step(f: VelocityFn, x: Array, t: Array, h: Array) -> Array:
+        hx = h.astype(x.dtype)  # state arithmetic in the (possibly bf16) state dtype
         ks0 = jnp.zeros((s,) + x.shape, x.dtype)
 
         def stage(i, ks):
             # x_i = x + h * sum_j A[i, j] * k_j   (A row masks future stages)
             incr = jnp.tensordot(a[i].astype(x.dtype), ks, axes=1)
-            xi = x + h * incr
+            xi = x + hx * incr
             ki = f(xi, _batch_time(x, t + c[i].astype(h.dtype) * h))
             return ks.at[i].set(ki)
 
         ks = jax.lax.fori_loop(0, s, stage, ks0)
-        return x + h * jnp.tensordot(b.astype(x.dtype), ks, axes=1)
+        return x + hx * jnp.tensordot(b.astype(x.dtype), ks, axes=1)
 
     return step
 
@@ -113,15 +121,17 @@ def _rk4_lean_step(f: VelocityFn, x: Array, t: Array, h: Array) -> Array:
     path (identical k_i bitwise); only the final weighted sum associates
     differently (~1 ulp/step — pinned by tests/test_solvers.py).
     """
-    half = h * 0.5
-    k = f(x, _batch_time(x, t))                    # k1
+    half = h * 0.5                 # time increments stay in h's (>= f32) dtype
+    hx = h.astype(x.dtype)         # state arithmetic in the state dtype
+    half_x = hx * 0.5
+    k = f(x, _batch_time(x, t))                      # k1
     acc = k
-    k = f(x + half * k, _batch_time(x, t + half))  # k2
+    k = f(x + half_x * k, _batch_time(x, t + half))  # k2
     acc = acc + 2.0 * k
-    k = f(x + half * k, _batch_time(x, t + half))  # k3
+    k = f(x + half_x * k, _batch_time(x, t + half))  # k3
     acc = acc + 2.0 * k
-    k = f(x + h * k, _batch_time(x, t + h))        # k4
-    return x + (h / 6.0) * (acc + k)
+    k = f(x + hx * k, _batch_time(x, t + h))         # k4
+    return x + (hx / 6.0) * (acc + k)
 
 
 _STEPPERS = {
@@ -175,9 +185,11 @@ def solve_ode(
     # float32 state is untouched (astype is a no-op there)
     f = lambda x, t: _masked(velocity_fn(x, t), frozen_mask).astype(x.dtype)
 
-    dtype = x0.dtype
-    frame_ts = jnp.linspace(t0, tf, n_frames, dtype=dtype)
-    h = (frame_ts[1] - frame_ts[0]) / substeps if n_frames > 1 else jnp.asarray(0.0, dtype)
+    # time grid in >= f32 even when the state is bf16 (times are scalars;
+    # step size error would otherwise hit ~2^-9 relative)
+    time_dtype = jnp.promote_types(x0.dtype, jnp.float32)
+    frame_ts = jnp.linspace(t0, tf, n_frames, dtype=time_dtype)
+    h = (frame_ts[1] - frame_ts[0]) / substeps if n_frames > 1 else jnp.asarray(0.0, time_dtype)
 
     def frame_step(x, t_start):
         def sub(i, x):
@@ -218,9 +230,11 @@ def solve_ode_final(
     # float32 state is untouched (astype is a no-op there)
     f = lambda x, t: _masked(velocity_fn(x, t), frozen_mask).astype(x.dtype)
 
-    dtype = x0.dtype
-    frame_ts = jnp.linspace(t0, tf, n_frames, dtype=dtype)
-    h = (frame_ts[1] - frame_ts[0]) / substeps if n_frames > 1 else jnp.asarray(0.0, dtype)
+    # time grid in >= f32 even when the state is bf16 (times are scalars;
+    # step size error would otherwise hit ~2^-9 relative)
+    time_dtype = jnp.promote_types(x0.dtype, jnp.float32)
+    frame_ts = jnp.linspace(t0, tf, n_frames, dtype=time_dtype)
+    h = (frame_ts[1] - frame_ts[0]) / substeps if n_frames > 1 else jnp.asarray(0.0, time_dtype)
 
     def frame_step(x, t_start):
         def sub(i, x):
@@ -335,8 +349,9 @@ def solve_denoising_sde(
     velocity = denoiser_to_velocity(denoiser_fn, interpolant)
 
     dtype = x0.dtype
-    frame_ts = jnp.linspace(t0, tf, n_frames, dtype=dtype)
-    h = (frame_ts[1] - frame_ts[0]) / substeps if n_frames > 1 else jnp.asarray(0.0, dtype)
+    time_dtype = jnp.promote_types(dtype, jnp.float32)
+    frame_ts = jnp.linspace(t0, tf, n_frames, dtype=time_dtype)
+    h = (frame_ts[1] - frame_ts[0]) / substeps if n_frames > 1 else jnp.asarray(0.0, time_dtype)
     sqrt_h = jnp.sqrt(jnp.abs(h))
 
     def drift(x, t):
@@ -358,7 +373,7 @@ def solve_denoising_sde(
             t = t_start + i * h
             noise = jax.random.normal(sub_k, x.shape, dtype)
             diffusion = jnp.sqrt(2.0 * jnp.maximum(eps_fn(t), 0.0))
-            x = x + h * drift(x, t) + sqrt_h * diffusion * noise
+            x = x + (h * drift(x, t)).astype(dtype) + (sqrt_h * diffusion).astype(dtype) * noise
             return (x, k)
 
         x, k = jax.lax.fori_loop(0, substeps, sub, (x, k))
@@ -376,14 +391,15 @@ def ode_sol_rk4(x0: Array, velocity_fn: VelocityFn, nsteps: int = 100, tf: float
     t=0 with h = tf/nsteps).
     """
     h = tf / nsteps
+    time_dtype = jnp.promote_types(x0.dtype, jnp.float32)
     f = velocity_fn
 
     def step(carry, _):
         x, t = carry
-        x = _rk4_step(f, x, t, jnp.asarray(h, x0.dtype))
+        x = _rk4_step(f, x, t, jnp.asarray(h, time_dtype))
         return (x, t + h), x
 
-    (_, _), frames = jax.lax.scan(step, (x0, jnp.asarray(0.0, x0.dtype)), None, length=nsteps - 1)
+    (_, _), frames = jax.lax.scan(step, (x0, jnp.asarray(0.0, time_dtype)), None, length=nsteps - 1)
     return jnp.concatenate([x0[None], frames], axis=0)
 
 
