@@ -86,13 +86,17 @@ _TABLEAUX = {
 }
 
 
-def _make_tableau_step(a, b, c):
-    a = jnp.asarray(a, jnp.float32)
-    b = jnp.asarray(b, jnp.float32)
-    c = jnp.asarray(c, jnp.float32)
-    s = b.shape[0]
+def _make_tableau_step(a_rows, b_weights, c_nodes):
+    s = len(b_weights)
 
     def step(f: VelocityFn, x: Array, t: Array, h: Array) -> Array:
+        # Tableau constants materialise inside the trace (compile-time
+        # constants under jit).  Converting them at module import would
+        # initialise the XLA backend and break a later
+        # jax.distributed.initialize (multi-host entry must come first).
+        a = jnp.asarray(a_rows, jnp.float32)
+        b = jnp.asarray(b_weights, jnp.float32)
+        c = jnp.asarray(c_nodes, jnp.float32)
         hx = h.astype(x.dtype)  # state arithmetic in the (possibly bf16) state dtype
         ks0 = jnp.zeros((s,) + x.shape, x.dtype)
 

@@ -1,11 +1,22 @@
-"""Multi-host (DCN) helpers, exercised in their single-process degenerate form.
+"""Multi-host (DCN) helpers: single-process degenerate forms AND a real
+2-process integration test.
 
-A real pod can't exist in CI; what CAN be pinned down is that (a) detection
-fires exactly when multi-host configuration is present, (b) the per-host
-batch feeding path produces the same global arrays as the single-host path
-at process_count == 1, and (c) the primary-write guard is sane.  The pod
-runbook lives in README.md "Multi-host (pods / DCN)".
+The degenerate tests pin down that (a) detection fires exactly when
+multi-host configuration is present, (b) the per-host batch feeding path
+produces the same global arrays as the single-host path at
+process_count == 1, and (c) the primary-write guard is sane.
+
+``test_two_process_training_step`` then runs the genuine article: two
+separate processes × 4 virtual CPU devices, ``jax.distributed`` over Gloo,
+per-host batch feeding, and the shard_map train step whose psum crosses the
+process boundary — the closest a single box gets to a pod.  The pod runbook
+lives in README.md "Multi-host (pods / DCN)".
 """
+
+import os
+import socket
+import subprocess
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -77,3 +88,55 @@ def test_host_local_batch_matches_device_put_single_process():
     )
     np.testing.assert_array_equal(np.asarray(out_tree["labels"]), batch)
     assert out_tree["mask"].sharding.spec == P("data")
+
+
+def test_package_import_leaves_backend_uninitialized():
+    """``jax.distributed.initialize`` must precede any XLA backend use, so
+    importing the package (e.g. to reach ``maybe_initialize``) must not
+    create backends.  Regression: the solver tableaux used to materialise
+    ``jnp`` constants at import time, which broke every multi-host entry."""
+    code = (
+        "import jax\n"
+        "import flowtrain_stochastic_interpolation_tpu\n"
+        "from jax._src import xla_bridge\n"
+        "assert not getattr(xla_bridge, '_backends', {}), "
+        "list(xla_bridge._backends)\n"
+    )
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+
+
+def test_two_process_training_step():
+    """Real multi-controller SPMD on one box: 2 processes × 4 CPU devices,
+    Gloo cross-process collectives, per-host batch feeding, shard_map train
+    step.  Both processes must observe identical (finite, decreasing)
+    global losses — the psum genuinely crossed the process boundary."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count (4, not 8)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    lines = [
+        [ln for ln in out.splitlines() if ln.startswith("MULTIHOST_OK")]
+        for out in outs
+    ]
+    assert lines[0] and lines[1], outs
+    assert "primary=True" in lines[0][0] and "primary=False" in lines[1][0]
+    # identical global losses on both controllers, bit for bit
+    assert lines[0][0].split("losses=")[1] == lines[1][0].split("losses=")[1]
