@@ -39,13 +39,18 @@ class CheckpointManager:
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
             best_fn=(lambda m: m[keep_best_on]) if keep_best_on else None,
-            best_mode="min" if keep_best_on else None,
+            # orbax rejects an explicit best_mode=None (its validator only
+            # admits 'min'/'max' despite the error message); unused w/o best_fn
+            best_mode="min",
             keep_checkpoints_without_metrics=True,
             create=True,
             enable_async_checkpointing=True,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
-        if config is not None:
+        if config is not None and jax.process_index() == 0:
+            # host-side JSON, not orbax-coordinated: primary-only to avoid a
+            # multi-process write race on shared storage (orbax saves below
+            # must NOT be gated this way — every process participates)
             cfg_path = os.path.join(self.directory, "config.json")
             if not os.path.exists(cfg_path):
                 with open(cfg_path, "w") as f:

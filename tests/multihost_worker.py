@@ -23,6 +23,7 @@ import sys
 pid = int(sys.argv[1])
 nproc = int(sys.argv[2])
 port = sys.argv[3]
+ckpt_dir = sys.argv[4] if len(sys.argv) > 4 else None  # shared fs, like a pod's NFS
 
 flags = os.environ.get("XLA_FLAGS", "")
 os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=4").strip()
@@ -98,5 +99,24 @@ assert np.isfinite(losses).all(), losses
 assert losses[-1] < losses[0], losses  # same batch repeatedly: loss must drop
 leaf = jax.tree.leaves(state.params)[0]
 assert leaf.sharding.is_fully_replicated
+
+if ckpt_dir is not None:
+    # Distributed orbax checkpoint: EVERY process calls save/restore (a
+    # primary-only guard would deadlock — train/checkpoint.py's manager is
+    # deliberately unguarded; only the host-side config.json is primary-only).
+    from flowtrain_stochastic_interpolation_tpu.train.checkpoint import (
+        CheckpointManager,
+    )
+
+    mgr = CheckpointManager(ckpt_dir, cfg, max_to_keep=1, keep_best_on=None)
+    mgr.save(3, state)
+    mgr.wait()
+    restored = mgr.restore(state)  # template supplies shapes + shardings
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(state.step)
+    mgr.close()
+    assert os.path.exists(os.path.join(ckpt_dir, "config.json"))
 
 print(f"MULTIHOST_OK primary={is_primary()} losses={json.dumps(losses)}", flush=True)

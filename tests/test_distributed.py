@@ -110,11 +110,12 @@ def test_package_import_leaves_backend_uninitialized():
     assert proc.returncode == 0, proc.stderr
 
 
-def test_two_process_training_step():
+def test_two_process_training_step(tmp_path):
     """Real multi-controller SPMD on one box: 2 processes × 4 CPU devices,
     Gloo cross-process collectives, per-host batch feeding, shard_map train
-    step.  Both processes must observe identical (finite, decreasing)
-    global losses — the psum genuinely crossed the process boundary."""
+    step, distributed orbax save/restore on a shared directory.  Both
+    processes must observe identical (finite, decreasing) global losses —
+    the psum genuinely crossed the process boundary."""
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -123,7 +124,8 @@ def test_two_process_training_step():
     env.pop("XLA_FLAGS", None)  # worker sets its own device count (4, not 8)
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), "2", str(port)],
+            [sys.executable, worker, str(i), "2", str(port),
+             str(tmp_path / "ckpt")],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env,
         )
