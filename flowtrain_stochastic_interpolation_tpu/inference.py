@@ -35,6 +35,8 @@ from flowtrain_stochastic_interpolation_tpu.ops.embedding import (
     prominence,
 )
 from flowtrain_stochastic_interpolation_tpu.solvers import (
+    frame_grid,
+    make_frame_advancer,
     solve_ode,
     solve_ode_adaptive,
     solve_ode_final,
@@ -68,6 +70,8 @@ def make_sampler(
     keep_trajectory: bool = False,
     with_prominence: bool = False,
     variables_as_arg: bool = False,
+    donate_x0: bool = False,
+    frame_dispatch: bool = False,
 ):
     """Build a jitted ``sampler(x0[, atb]) -> outputs`` closure.
 
@@ -81,9 +85,44 @@ def make_sampler(
     instead: the params are a runtime argument, so one compiled program
     serves *changing* weights — required for in-training periodic sampling,
     where a closure over the current params would recompile every epoch.
+
+    ``donate_x0=True`` donates the noise buffer into the program.  NOTE:
+    XLA donation is strict input→output aliasing — it only saves HBM when an
+    output matches the donated buffer's size/dtype (e.g. ``keep_trajectory``
+    state outputs).  For the default decode pipeline the outputs are int32
+    maps, nothing aliases, and TPU compiles warn "donated buffers were not
+    usable" (measured: identical temp size in
+    ``tools/memcheck_sampler.py --donate``).  Kept for callers whose output
+    shapes do alias.  Callers must not reuse ``x0`` after the call
+    (``sample_unconditional`` draws a fresh one per batch, so the default
+    pipelines are safe).
+
+    ``frame_dispatch=True`` splits the solve into one jitted program per
+    saved frame, host-looped: at 128³ the fully fused sampler is a single
+    ~60 s device dispatch, which this environment's TPU tunnel can kill with
+    an opaque "UNAVAILABLE: TPU device error" (measured NOT to be memory —
+    buffer peak 4.3–5.2 GB of 16 GB, ``tools/memcheck_sampler.py``); 15
+    frame-sized dispatches of a few seconds each sidestep any per-dispatch
+    ceiling at ~50 ms/dispatch overhead.  NFE and the visited time grid are
+    identical (shared ``make_frame_advancer`` body); states agree to float
+    tolerance — the fused program bakes the step size as a constant XLA may
+    fold differently from the per-frame program's runtime argument
+    (tests/test_inference.py pins >99.9% decode agreement).  Not combinable
+    with ``adaptive`` or ``variables_as_arg``.
     """
     if conditional is None:
         conditional = atb is not None
+
+    if frame_dispatch:
+        if adaptive or variables_as_arg:
+            raise ValueError("frame_dispatch is incompatible with "
+                             "adaptive/variables_as_arg")
+        return _make_frame_dispatch_sampler(
+            model, variables, table, atb=atb, conditional=conditional,
+            t0=t0, tf=tf, n_frames=n_frames, substeps=substeps,
+            method=method, keep_trajectory=keep_trajectory,
+            with_prominence=with_prominence,
+        )
 
     def run_with(vars_, x0, atb_batch=None):
         if conditional or atb_batch is not None:
@@ -120,24 +159,87 @@ def make_sampler(
         return out
 
     if variables_as_arg:
-        jitted_v = jax.jit(run_with)
+        jitted_v = jax.jit(run_with, donate_argnums=(1,) if donate_x0 else ())
         if conditional:
             return jitted_v  # (variables, x0, atb_batch)
         return lambda vars_, x0: jitted_v(vars_, x0)
 
     run = lambda x0, atb_batch=None: run_with(variables, x0, atb_batch)
+    donate = (0,) if donate_x0 else ()
     if conditional:
         # ATb must be a runtime argument: a closed-over concrete array would
         # be baked into the compiled program as a (batch×64³×E ≈ 100 MB)
         # constant — bloating the executable and, in this environment,
         # exceeding the remote-compile request size limit.
-        jitted = jax.jit(run)
+        jitted = jax.jit(run, donate_argnums=donate)
         if atb is None:
             return jitted  # caller passes (x0, atb_batch)
         return lambda x0, atb_batch=None: jitted(
             x0, atb if atb_batch is None else atb_batch
         )
-    return jax.jit(run)
+    return jax.jit(run, donate_argnums=donate)
+
+
+def _make_frame_dispatch_sampler(
+    model,
+    variables: Dict[str, Any],
+    table: Array,
+    *,
+    atb: Optional[Array],
+    conditional: bool,
+    t0: float,
+    tf: float,
+    n_frames: int,
+    substeps: int,
+    method: str,
+    keep_trajectory: bool,
+    with_prominence: bool,
+):
+    """Host-looped per-frame sampler (see ``make_sampler(frame_dispatch=True)``)."""
+
+    def velocity_of(atb_batch):
+        if conditional or atb_batch is not None:
+            return lambda x, t: model.apply(variables, x, atb_batch, t)
+        return lambda x, t: model.apply(variables, x, t)
+
+    @partial(jax.jit, static_argnames=("has_atb",), donate_argnums=(0,))
+    def advance_frame(x, t_start, h, atb_batch=None, *, has_atb=False):
+        adv = make_frame_advancer(
+            velocity_of(atb_batch if has_atb else None),
+            substeps=substeps, method=method,
+        )
+        return adv(x, t_start, h)
+
+    @jax.jit
+    def finish(x):
+        out = {"decoded": decode(x, table), "nfe": jnp.int32(0)}
+        if with_prominence:
+            out["prominence"] = prominence(decode_logits(x, table))
+        return out
+
+    def sampler(x0, atb_batch=None):
+        if atb_batch is None:
+            atb_batch = atb
+        frame_ts, h = frame_grid(x0.dtype, t0, tf, n_frames, substeps)
+        has_atb = atb_batch is not None
+        x = jnp.asarray(x0)
+        # the state is donated into each frame program (exact-shape output
+        # aliasing — this is the case where donation DOES free HBM), so
+        # trajectory frames are copied to host before the buffer dies
+        frames = [np.asarray(x0)] if keep_trajectory else None
+        for t_start in frame_ts[:-1]:
+            x = advance_frame(
+                x, jnp.asarray(t_start), jnp.asarray(h),
+                atb_batch if has_atb else None, has_atb=has_atb,
+            )
+            if keep_trajectory:
+                frames.append(np.asarray(x))
+        out = dict(finish(x))
+        if keep_trajectory:
+            out["trajectory"] = np.stack(frames, axis=0)
+        return out
+
+    return sampler
 
 
 def make_spatial_sampler(

@@ -118,12 +118,22 @@ def _rk4_lean_step(f: VelocityFn, x: Array, t: Array, h: Array) -> Array:
 
     The generic tableau stepper keeps a ``[stages, B, ...]`` stage stack live
     across the whole step (4 extra state-sized buffers): at 128³×18ch f32
-    that stack alone is ~0.6 GB and pushed single-chip sampling out of HBM
-    (VERDICT r2 weak #6).  The classic ``x + h(k1+2k2+2k3+k4)/6`` form holds
-    only {x, acc, k_i} — 2 persistent state buffers plus the in-flight stage.
-    Stage states x_i are computed with the same arithmetic as the tableau
-    path (identical k_i bitwise); only the final weighted sum associates
-    differently (~1 ulp/step — pinned by tests/test_solvers.py).
+    that stack alone is ~0.6 GB (VERDICT r2 weak #6).  The classic
+    ``x + h(k1+2k2+2k3+k4)/6`` form holds only {x, acc, k_i} — 2 persistent
+    state buffers plus the in-flight stage.  Stage states x_i are computed
+    with the same arithmetic as the tableau path (identical k_i bitwise);
+    only the final weighted sum associates differently (~1 ulp/step — pinned
+    by tests/test_solvers.py).
+
+    Form note (measured 2026-08-17): this Python-unrolled body inlines the
+    velocity net 4× into the solver program (628 MB generated TPU code at
+    128³ vs 214 MB for a stage-``fori_loop`` variant exploiting RK4's
+    subdiagonal tableau — see git history).  The fori variant measured 0.5%
+    slower at 64³ (16.157 vs 16.243 samples/min, disjoint spreads) and
+    neither form changes the 128³ single-dispatch failure (a per-dispatch
+    tunnel ceiling, solved by ``inference.make_sampler(frame_dispatch=True)``
+    instead; buffer peak is only ~4–5 GB of 16 — ``tools/memcheck_sampler``),
+    so the faster unrolled form stays.
     """
     half = h * 0.5                 # time increments stay in h's (>= f32) dtype
     hx = h.astype(x.dtype)         # state arithmetic in the state dtype
@@ -248,6 +258,58 @@ def solve_ode_final(
 
     x, _ = jax.lax.scan(frame_step, x0, frame_ts[:-1])
     return x
+
+
+def make_frame_advancer(
+    velocity_fn: VelocityFn,
+    *,
+    substeps: int = 1,
+    method: str = "rk4",
+    frozen_mask: Optional[Array] = None,
+):
+    """One-frame integration step for host-looped dispatch.
+
+    Returns ``advance(x, t_start, h) -> x`` covering ``substeps`` integrator
+    steps from ``t_start`` — the exact body :func:`solve_ode_final` scans
+    over, exposed so callers can jit it ONCE and drive the frame loop from
+    the host.  Rationale: the fully fused 128³ sampler is a single ~60 s
+    device dispatch through this environment's TPU tunnel, which is where
+    the opaque "TPU device error" on 128³ RK4 lives (buffer peak measured at
+    only 4.3/5.2 GB of 16 GB via ``tools/memcheck_sampler.py``, so it is not
+    memory); 15 frame-sized dispatches of ~4 s each sidestep any
+    per-dispatch ceiling at ~50 ms/dispatch overhead.  Fed the same
+    ``frame_ts[i]`` and ``h`` (see :func:`frame_grid`) it visits the same
+    time grid; compiled states agree to float tolerance (constant-folding
+    differs between the fused and per-frame programs — pinned in
+    tests/test_inference.py).
+    """
+    if method not in _STEPPERS:
+        raise ValueError(f"unknown method {method!r}; options: {sorted(_STEPPERS)}")
+    stepper, _ = _STEPPERS[method]
+    f = lambda x, t: _masked(velocity_fn(x, t), frozen_mask).astype(x.dtype)
+
+    def advance(x: Array, t_start: Array, h: Array) -> Array:
+        def sub(i, x):
+            return stepper(f, x, t_start + i * h, h)
+
+        return jax.lax.fori_loop(0, substeps, sub, x)
+
+    return advance
+
+
+def frame_grid(state_dtype, t0: float, tf: float, n_frames: int, substeps: int):
+    """The (frame_ts, h) grid used by the fixed-NFE solvers, as host arrays.
+
+    Identical arithmetic to :func:`solve_ode_final` (jnp.linspace in the
+    promoted time dtype, h = frame spacing / substeps) so host-looped frame
+    dispatch visits bitwise-identical times.
+    """
+    time_dtype = jnp.promote_types(state_dtype, jnp.float32)
+    frame_ts = jnp.linspace(t0, tf, n_frames, dtype=time_dtype)
+    h = (frame_ts[1] - frame_ts[0]) / substeps if n_frames > 1 else jnp.asarray(0.0, time_dtype)
+    import numpy as _np
+
+    return _np.asarray(frame_ts), _np.asarray(h)
 
 
 def solve_ode_adaptive(
@@ -440,6 +502,8 @@ class ODEFlowSolver:
 
 
 __all__ = [
+    "frame_grid",
+    "make_frame_advancer",
     "solve_ode",
     "solve_ode_final",
     "solve_ode_adaptive",

@@ -80,6 +80,60 @@ def test_sample_conditional_end_to_end():
     assert result.decoded.shape == (3, 8, 8, 8)
 
 
+def test_donate_x0_sampler_matches_and_invalidates():
+    """donate_x0=True frees the noise buffer into the program (the 128³
+    single-chip HBM lever): results are identical, and the donated input is
+    consumed (a second use of the same buffer must fail)."""
+    model, variables, table = _uncond()
+    kwargs = dict(n_frames=4, substeps=1, method="rk4")
+    plain = make_sampler(model, variables, table, **kwargs)
+    donating = make_sampler(model, variables, table, donate_x0=True, **kwargs)
+    x0 = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 8, 15))
+    ref = np.asarray(plain(x0)["decoded"])
+    out = donating(x0)
+    np.testing.assert_array_equal(ref, np.asarray(out["decoded"]))
+    if jax.default_backend() not in ("cpu",):  # CPU ignores donation
+        assert x0.is_deleted()
+
+
+def test_frame_dispatch_matches_fused():
+    """Host-looped per-frame dispatch (the 128³ tunnel-ceiling workaround)
+    visits the identical time grid as the fused lax.scan sampler; states
+    agree to float-accumulation tolerance (in the fused program the step
+    size is a baked constant XLA folds differently than the per-frame
+    program's runtime argument) and the categorical decode agrees on
+    essentially every voxel — unconditional and conditional, trajectory
+    collected host-side."""
+    model, variables, table = _uncond()
+    kwargs = dict(n_frames=4, substeps=2, method="rk4",
+                  keep_trajectory=True, with_prominence=True)
+    fused = make_sampler(model, variables, table, **kwargs)
+    framed = make_sampler(model, variables, table, frame_dispatch=True, **kwargs)
+    x0 = jax.random.normal(jax.random.PRNGKey(9), (2, 8, 8, 8, 15))
+    a = fused(x0)
+    b = framed(x0)
+    np.testing.assert_allclose(
+        np.asarray(a["trajectory"]), b["trajectory"], rtol=2e-4, atol=2e-5
+    )
+    assert (np.asarray(a["decoded"]) == np.asarray(b["decoded"])).mean() > 0.999
+    np.testing.assert_allclose(
+        np.asarray(a["prominence"]), np.asarray(b["prominence"]), atol=1e-3
+    )
+
+    # conditional: ATb as runtime arg through the per-frame programs
+    cond = UNet3DCond(**TINY, variant="v3")
+    xz = jnp.zeros((1, 8, 8, 8, 15))
+    cvars = cond.init(jax.random.PRNGKey(1), xz, xz, jnp.zeros((1,)))
+    atb = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 8, 15))
+    ckw = dict(n_frames=3, substeps=1, method="heun", conditional=True)
+    cf = make_sampler(cond, cvars, table, **ckw)
+    cfr = make_sampler(cond, cvars, table, frame_dispatch=True, **ckw)
+    xc = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 8, 15))
+    agree = (np.asarray(cf(xc, atb)["decoded"])
+             == np.asarray(cfr(xc, atb)["decoded"])).mean()
+    assert agree > 0.999, agree
+
+
 def test_bfloat16_state_sampling_matches_float32():
     """bf16 integration state (the 128³ RK4 single-chip memory lever): the
     scan carry stays bf16 end-to-end (velocity cast in the solver) and the

@@ -34,13 +34,24 @@ def main():
     p.add_argument("--no-folded", action="store_true",
                    help="disable the folded Pallas linear-attention kernel")
     p.add_argument("--method", default="rk4",
-                   choices=["euler", "heun", "midpoint", "rk4"])
+                   choices=["euler", "heun", "midpoint", "rk4", "rk4_tableau"])
     p.add_argument("--substeps", type=int, default=2)
     p.add_argument("--state-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="dtype of the integrated state: bfloat16 halves the "
                         "persistent x/k/acc buffers (fits RK4 at 128³ on one "
                         "chip; ~99%% decode agreement vs float32)")
+    p.add_argument("--donate-x0", action="store_true",
+                   help="donate the noise buffer into the sampler program "
+                        "(only saves HBM when an output aliases it — no-op "
+                        "for the default decode pipeline; see make_sampler)")
+    p.add_argument("--frame-dispatch", action="store_true",
+                   help="host-loop one jitted program per saved frame "
+                        "instead of one fused ~60 s dispatch (sidesteps the "
+                        "tunnel's per-dispatch ceiling at 128³)")
+    p.add_argument("--no-prominence", action="store_true",
+                   help="skip the prominence map (drops the [B,X,Y,Z,K] "
+                        "logits buffer from the program — 126 MB at 128³)")
     args = p.parse_args()
 
     from flowtrain_stochastic_interpolation_tpu.inference import sample_unconditional
@@ -72,7 +83,9 @@ def main():
         n_samples=args.n_samples, batch_size=args.batch_size,
         data_shape=shape, embedding_dim=config.data.embedding_dim,
         seed=100, t0=0.001, tf=1.0, n_frames=16, substeps=args.substeps,
-        method=args.method, with_prominence=True, verbose=True,
+        method=args.method, with_prominence=not args.no_prominence,
+        verbose=True, donate_x0=args.donate_x0,
+        frame_dispatch=args.frame_dispatch,
         state_dtype=jnp.bfloat16 if args.state_dtype == "bfloat16" else jnp.float32,
     )
     dec = result.decoded - 1
@@ -88,7 +101,8 @@ def main():
         "air_frac_top": round(float((dec[..., -8:] == -1).mean()), 3),
         "air_frac_bottom": round(float((dec[..., :8] == -1).mean()), 3),
         "n_categories_used": int(len(np.unique(dec))),
-        "prominence_mean": round(float(result.prominence.mean()), 4),
+        "prominence_mean": (round(float(result.prominence.mean()), 4)
+                            if result.prominence is not None else None),
         "seconds_per_batch": [round(s, 2) for s in result.seconds_per_batch],
     }))
 

@@ -45,6 +45,9 @@ def main():
                         "conditional recipe's 1e-3 targets effective batch "
                         "32; at effective batch 8 it diverges — measured)")
     p.add_argument("--out", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="restore from <out>/ckpt and continue up to --steps "
+                        "(real resume through the orbax CheckpointManager)")
     args = p.parse_args()
     if args.batch_size is None:
         args.batch_size = 2 if args.conditional else 4
@@ -83,9 +86,16 @@ def main():
     writer = MetricsWriter(args.out)
     key = jax.random.PRNGKey(7)
 
+    mgr = CheckpointManager(os.path.join(args.out, "ckpt"), config)
+    start_step = 0
+    if args.resume and mgr.latest_step() is not None:
+        state = mgr.restore(state)
+        start_step = int(state.step)
+        print(f"resumed from step {start_step}", flush=True)
+
     t_start = time.perf_counter()
     losses = []
-    for step in range(args.steps):
+    for step in range(start_step, args.steps):
         batch = synthetic_geology_batch(
             jax.random.fold_in(key, step), args.batch_size, config.data.shape
         )
@@ -104,9 +114,9 @@ def main():
     writer.close()
     elapsed = time.perf_counter() - t_start
 
-    mgr = CheckpointManager(os.path.join(args.out, "ckpt"), config)
-    mgr.save(args.steps, state, metrics={"train_loss": losses[-1]})
-    mgr.wait()
+    if losses:  # no-op when resumed at/after --steps (sampling-only rerun)
+        mgr.save(args.steps, state, metrics={"train_loss": losses[-1]})
+        mgr.wait()
 
     # sample from the trained weights (EMA when present — reference applies
     # EMA at train end, cond callbacks.py:270-274)
@@ -122,8 +132,8 @@ def main():
         "batch": args.batch_size,
         "accum": args.accum,
         "elapsed_s": round(elapsed, 1),
-        "loss_first": round(losses[0], 4),
-        "loss_last": round(float(np.mean(losses[-5:])), 4),
+        "loss_first": round(losses[0], 4) if losses else None,
+        "loss_last": round(float(np.mean(losses[-5:])), 4) if losses else None,
     }
 
     if args.conditional:
