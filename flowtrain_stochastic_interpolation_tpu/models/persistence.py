@@ -394,3 +394,91 @@ def convert_lightning_module(
     )
     embedding = _np(sd["embedding.weight"])
     return {"params": params, "constants": constants, "embedding": embedding}
+
+
+# --------------------------------------------------------------------------
+# Release-weights format (compact, git-committable)
+# --------------------------------------------------------------------------
+# Orbax checkpoint dirs carry full f32 optimizer state (~16 bytes/param) and
+# are machine-local; demo/fine-tune weight sets instead ship as a directory of
+#   weights.msgpack  — {"params", "ema_params", "constants"} cast to bfloat16
+#   config.json      — the ExperimentConfig that built the model
+#   meta.json        — {"step", "dtype", notes}
+# ~2 bytes/param: the 23M-param flagship fits in ~90 MB with EMA included.
+# The reference ships trained weights the same way in spirit (GitHub release
+# .ckpt files, ``readme.md:27-33``); here the format is flax msgpack.
+
+def _cast_floats(tree: Any, dtype) -> Any:
+    import jax
+    import jax.numpy as jnp
+
+    def cast(x):
+        x = np.asarray(x)
+        if np.issubdtype(x.dtype, np.floating) or x.dtype == jnp.bfloat16:
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, tree)
+
+
+def save_release_weights(
+    directory: str,
+    *,
+    params: Any,
+    ema_params: Any = None,
+    model_constants: Any = None,
+    config_json: Optional[str] = None,
+    step: Optional[int] = None,
+    dtype="bfloat16",
+    note: str = "",
+) -> None:
+    """Export trained weights as a compact, self-describing directory."""
+    import json as _json
+
+    import jax.numpy as jnp
+
+    os.makedirs(directory, exist_ok=True)
+    cast = jnp.bfloat16 if str(dtype) == "bfloat16" else np.float32
+    tree = {
+        "params": _cast_floats(params, cast),
+        "ema_params": _cast_floats(ema_params, cast) if ema_params is not None else {},
+        "constants": dict(model_constants or {}),
+    }
+    save_model(tree, os.path.join(directory, "weights.msgpack"))
+    if config_json is not None:
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            f.write(config_json)
+    with open(os.path.join(directory, "meta.json"), "w") as f:
+        _json.dump({"step": step, "dtype": str(dtype), "note": note}, f, indent=1)
+
+
+def load_release_weights(directory: str, cast_to=np.float32):
+    """Load a release-weights dir → (variables_tree, config_or_None, meta).
+
+    ``variables_tree`` has float leaves cast to ``cast_to`` (f32 master by
+    default — the models cast to their compute dtype at trace time anyway).
+    No template needed: the msgpack is structure-bearing.
+    """
+    import json as _json
+
+    with open(os.path.join(directory, "weights.msgpack"), "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    if cast_to is not None:
+        tree = _cast_floats(tree, cast_to)
+    config = None
+    cfg_path = os.path.join(directory, "config.json")
+    if os.path.exists(cfg_path):
+        from flowtrain_stochastic_interpolation_tpu.config import ExperimentConfig
+
+        with open(cfg_path) as f:
+            config = ExperimentConfig.from_json(f.read())
+    meta = {}
+    meta_path = os.path.join(directory, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = _json.load(f)
+    return tree, config, meta
+
+
+def is_release_weights_dir(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, "weights.msgpack"))

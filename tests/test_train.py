@@ -156,3 +156,74 @@ def test_remat_matches_no_remat(save_atb):
             metrics["remat"][k], metrics["plain"][k], rtol=1e-5, atol=1e-6,
             err_msg=k,
         )
+
+
+def test_cross_resolution_warm_start(tmp_path):
+    """Params trained at 8³ restore into a 16³ run and train (fine-tune).
+
+    The UNet is fully convolutional, so weight pytrees are
+    resolution-independent; this pins the ``train_demo --shape/--init-from``
+    path (beyond-reference-scale fine-tuning — the reference trains only at
+    its fixed 64³ production size, ``model_train_inference.py:61-66``)."""
+    from flowtrain_stochastic_interpolation_tpu.train.checkpoint import (
+        CheckpointManager,
+    )
+
+    cfg8 = tiny_config()
+    result = train(cfg8, num_steps=3, checkpoint_dir=str(tmp_path / "ckpt"))
+
+    cfg16 = dataclasses.replace(
+        cfg8, data=dataclasses.replace(cfg8.data, shape=(16, 16, 16))
+    )
+    model, tx, state = init_train_state(cfg16)
+    src = CheckpointManager(str(tmp_path / "ckpt"))
+    restored = src.restore(state)  # 16³ state is a valid template: same tree
+    src.close()
+    state = state.replace(params=restored.params, ema_params=restored.ema_params)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(state.params)[0]),
+        np.asarray(jax.tree.leaves(result.state.params)[0]),
+    )
+    assert int(state.step) == 0  # fresh counter: fine-tune, not resume
+
+    step_fn = make_train_step(model, tx, cfg16)
+    batch = synthetic_geology_batch(jax.random.PRNGKey(0), 2, (16, 16, 16))
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["train_loss"]))
+
+
+def test_release_weights_roundtrip(tmp_path):
+    """Orbax ckpt → compact release dir → sampling/fine-tune reload.
+
+    The release format (bf16 msgpack + config + meta) is what trained demo
+    weights are committed as — the analogue of the reference's GitHub-release
+    ``.ckpt`` distribution (``readme.md:27-33``)."""
+    from flowtrain_stochastic_interpolation_tpu.models.persistence import (
+        is_release_weights_dir,
+        load_release_weights,
+        save_release_weights,
+    )
+
+    cfg = tiny_config()
+    result = train(cfg, num_steps=3, checkpoint_dir=str(tmp_path / "ckpt"))
+    rel = str(tmp_path / "release")
+    save_release_weights(
+        rel,
+        params=result.state.params,
+        ema_params=result.state.ema_params,
+        model_constants=result.state.constants.get("model", {}),
+        config_json=cfg.to_json(),
+        step=int(result.state.step),
+    )
+    assert is_release_weights_dir(rel)
+
+    tree, config2, meta = load_release_weights(rel)
+    assert meta["step"] == 3 and config2.model.dim == cfg.model.dim
+    # bf16 cast round-trip: within one bf16 ulp of the trained f32 params
+    for orig, back in zip(
+        jax.tree.leaves(result.state.params), jax.tree.leaves(tree["params"])
+    ):
+        assert back.dtype == np.float32  # cast back to master dtype on load
+        np.testing.assert_allclose(np.asarray(orig), back, rtol=8e-3, atol=1e-6)
+    # EMA present and distinct
+    assert jax.tree.leaves(tree["ema_params"])

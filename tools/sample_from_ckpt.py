@@ -53,6 +53,7 @@ def main():
                    help="skip the prominence map (drops the [B,X,Y,Z,K] "
                         "logits buffer from the program — 126 MB at 128³)")
     args = p.parse_args()
+    os.makedirs(args.out, exist_ok=True)
 
     from flowtrain_stochastic_interpolation_tpu.inference import sample_unconditional
     from flowtrain_stochastic_interpolation_tpu.train.checkpoint import CheckpointManager
@@ -61,22 +62,42 @@ def main():
         init_train_state,
     )
 
-    mgr = CheckpointManager(args.ckpt, None)
-    config = mgr.load_config()
-    assert config is not None, "checkpoint dir has no config.json"
-    if args.no_folded:
-        model_cfg = dataclasses.replace(config.model, fused_folded_attn=False)
-        config = dataclasses.replace(config, model=model_cfg)
-    model, _, state = init_train_state(config)
-    state = mgr.restore(state)
-    print(f"restored step {int(state.step)}")
+    from flowtrain_stochastic_interpolation_tpu.models.persistence import (
+        is_release_weights_dir,
+        load_release_weights,
+    )
 
-    params = state.params
-    if args.ema and state.ema_params is not None:
-        params = state.ema_params
-    variables = {"params": params}
-    if state.constants.get("model"):
-        variables["constants"] = state.constants["model"]
+    if is_release_weights_dir(args.ckpt):
+        tree, config, meta = load_release_weights(args.ckpt)
+        assert config is not None, "release-weights dir has no config.json"
+        if args.no_folded:
+            model_cfg = dataclasses.replace(config.model, fused_folded_attn=False)
+            config = dataclasses.replace(config, model=model_cfg)
+        model, _, state = init_train_state(config)
+        params = tree["params"]
+        if args.ema and tree.get("ema_params"):
+            params = tree["ema_params"]
+        variables = {"params": params}
+        if tree.get("constants"):
+            variables["constants"] = tree["constants"]
+        print(f"loaded release weights (step {meta.get('step')})")
+    else:
+        mgr = CheckpointManager(args.ckpt, None)
+        config = mgr.load_config()
+        assert config is not None, "checkpoint dir has no config.json"
+        if args.no_folded:
+            model_cfg = dataclasses.replace(config.model, fused_folded_attn=False)
+            config = dataclasses.replace(config, model=model_cfg)
+        model, _, state = init_train_state(config)
+        state = mgr.restore(state)
+        print(f"restored step {int(state.step)}")
+
+        params = state.params
+        if args.ema and state.ema_params is not None:
+            params = state.ema_params
+        variables = {"params": params}
+        if state.constants.get("model"):
+            variables["constants"] = state.constants["model"]
     shape = (args.shape,) * 3 if args.shape else tuple(config.data.shape)
     result = sample_unconditional(
         model, variables, state.constants["embedding"],

@@ -11,6 +11,14 @@ evidence that the full pipeline trains on TPU.
   borehole/surface masks, AdamW + EMA, ending in a conditional ensemble
   sampled from a held-out scenario (reference
   ``model_train_sh_inference_cond.py:401-467`` + ensemble flow).
+* ``--shape N``: train at N³ voxels instead of 64³.  The UNet is fully
+  convolutional (weights are resolution-independent), so combined with
+  ``--init-from`` this fine-tunes 64³-trained weights at a resolution the
+  reference never trains (its production size is fixed at 64³,
+  ``model_train_inference.py:61-66``) — beyond-reference-scale training on
+  one chip.
+* ``--init-from DIR``: warm-start params (+EMA shadow) from another run's
+  orbax checkpoint dir; optimizer state and step counter start fresh.
 """
 
 from __future__ import annotations
@@ -48,6 +56,21 @@ def main():
     p.add_argument("--resume", action="store_true",
                    help="restore from <out>/ckpt and continue up to --steps "
                         "(real resume through the orbax CheckpointManager)")
+    p.add_argument("--shape", type=int, default=None,
+                   help="cubic volume edge length (default: the preset's — "
+                        "64 for flagship; the UNet is fully convolutional so "
+                        "any multiple of its downsample factor works)")
+    p.add_argument("--init-from", default=None,
+                   help="warm-start params/EMA from another run's orbax ckpt "
+                        "dir (e.g. artifacts/train_demo/ckpt); fresh "
+                        "optimizer state, step counter reset to 0")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialise the forward in the backward (fit "
+                        "larger volumes/batches in HBM)")
+    p.add_argument("--preset", default="flagship",
+                   choices=["flagship", "tiny"],
+                   help="tiny = 8³/dim-8 smoke config (CPU-friendly drive "
+                        "of the demo tool itself)")
     args = p.parse_args()
     if args.batch_size is None:
         args.batch_size = 2 if args.conditional else 4
@@ -57,6 +80,7 @@ def main():
 
     from flowtrain_stochastic_interpolation_tpu.config import (
         conditional_64,
+        tiny_test,
         unconditional_64,
     )
     from flowtrain_stochastic_interpolation_tpu.data.synthetic import (
@@ -72,16 +96,66 @@ def main():
     from flowtrain_stochastic_interpolation_tpu.train.steps import make_train_step
     from flowtrain_stochastic_interpolation_tpu.utils.logging import MetricsWriter
 
-    config = conditional_64() if args.conditional else unconditional_64()
+    if args.preset == "tiny":
+        config = tiny_test(conditional=args.conditional)
+    else:
+        config = conditional_64() if args.conditional else unconditional_64()
     training_overrides = {"accumulate_grad_batches": args.accum}
     if args.lr is not None:
         training_overrides["learning_rate"] = args.lr
+    if args.remat:
+        training_overrides["remat"] = True
+    data_overrides = {"batch_size": args.batch_size}
+    if args.shape is not None:
+        data_overrides["shape"] = (args.shape, args.shape, args.shape)
     config = dataclasses.replace(
         config,
-        data=dataclasses.replace(config.data, batch_size=args.batch_size),
+        data=dataclasses.replace(config.data, **data_overrides),
         training=dataclasses.replace(config.training, **training_overrides),
     )
-    model, tx, state = init_train_state(config)
+    args.shape = config.data.shape[0]
+    init_cfg = config
+    if args.shape > 64:
+        # params are resolution-independent (fully-convolutional UNet);
+        # init at 64³ keeps the one-off model.init cheap — a 128³ float32
+        # init forward would burn HBM + a long remote compile for nothing
+        init_cfg = dataclasses.replace(
+            config, data=dataclasses.replace(config.data, shape=(64, 64, 64))
+        )
+    model, tx, state = init_train_state(init_cfg)
+    if args.init_from:
+        # params/EMA transfer across resolutions (fully-convolutional UNet)
+        from flowtrain_stochastic_interpolation_tpu.models.persistence import (
+            is_release_weights_dir,
+            load_release_weights,
+        )
+
+        if is_release_weights_dir(args.init_from):
+            tree, _, meta = load_release_weights(args.init_from)
+            ema = tree.get("ema_params") or None
+            state = state.replace(params=tree["params"], ema_params=ema)
+            src_step = meta.get("step")
+        else:
+            # the current state is the restore template — same pytree
+            # structure regardless of config.data.shape
+            src = CheckpointManager(args.init_from)
+            try:
+                restored = src.restore(state)
+            except Exception:
+                # opt_state structure differs (e.g. different accumulation)
+                # — rebuild a template from the source run's own config
+                src_cfg = src.load_config()
+                assert src_cfg is not None, (
+                    f"{args.init_from} has neither weights.msgpack nor a "
+                    "restorable orbax checkpoint with config.json")
+                _, _, src_state = init_train_state(src_cfg)
+                restored = src.restore(src_state)
+            state = state.replace(params=restored.params,
+                                  ema_params=restored.ema_params)
+            src.close()
+            src_step = int(restored.step)
+        print(f"warm-started from {args.init_from} (step {src_step})",
+              flush=True)
     train_step = make_train_step(model, tx, config)
     writer = MetricsWriter(args.out)
     key = jax.random.PRNGKey(7)
@@ -162,14 +236,21 @@ def main():
             "ensemble_agreement": round(float((dec[0] == dec[1]).mean()), 3),
         })
     else:
+        big = args.shape > 64
         result = sample_unconditional(
             model, variables, table,
-            n_samples=8, batch_size=8, data_shape=config.data.shape,
+            n_samples=2 if big else 8, batch_size=1 if big else 8,
+            data_shape=config.data.shape,
             embedding_dim=config.data.embedding_dim, seed=100,
             t0=0.001, tf=1.0, n_frames=16, substeps=2, method="rk4",
             with_prominence=True, verbose=False,
+            # >64³: bf16 state + one jitted dispatch per saved frame — the
+            # fused single dispatch exceeds this runtime's ~60 s ceiling
+            # (BASELINE.md 128³ diagnosis)
+            state_dtype=jnp.bfloat16 if big else jnp.float32,
+            **({"frame_dispatch": True} if big else {}),
         )
-        for i in range(4):
+        for i in range(min(4, result.decoded.shape[0])):
             np.save(os.path.join(args.out, f"sample_{i}.npy"),
                     (result.decoded[i] - 1).astype(np.int8))
         dec = result.decoded - 1
