@@ -90,6 +90,29 @@ def load_model_with_ema_option(config, checkpoint_path, use_ema: bool,
             variables["constants"] = conv["constants"]
         return model, variables, jnp.asarray(conv["embedding"])
 
+    from flowtrain_stochastic_interpolation_tpu.models.persistence import (
+        is_release_weights_dir,
+        load_release_weights,
+    )
+
+    if checkpoint_path and is_release_weights_dir(checkpoint_path):
+        tree, _, meta = load_release_weights(checkpoint_path)
+        params = tree["params"]
+        if use_ema and tree.get("ema_params"):
+            params = tree["ema_params"]
+        variables = {"params": params}
+        if tree.get("constants"):
+            variables["constants"] = tree["constants"]
+        from flowtrain_stochastic_interpolation_tpu.ops.embedding import (
+            simplex_embedding,
+        )
+
+        table = jnp.asarray(
+            simplex_embedding(config.data.num_categories, config.data.embedding_dim)
+        )
+        print(f"loaded release weights step {meta.get('step')}")
+        return model, variables, table
+
     _, _, state = init_train_state(config)
     table = state.constants["embedding"]
     if checkpoint_path:

@@ -66,6 +66,24 @@ def load_variables(config, checkpoint_path: str | None, dirs: dict, use_ema: boo
         return model, variables, table
 
     ckpt_dir = checkpoint_path or dirs["checkpoint_dir"]
+
+    from flowtrain_stochastic_interpolation_tpu.models.persistence import (
+        is_release_weights_dir,
+        load_release_weights,
+    )
+
+    if is_release_weights_dir(ckpt_dir):
+        tree, _, meta = load_release_weights(ckpt_dir)
+        params = tree["params"]
+        if use_ema and tree.get("ema_params"):
+            params = tree["ema_params"]
+        variables = {"params": params}
+        if tree.get("constants"):
+            variables["constants"] = tree["constants"]
+        table = jnp.asarray(simplex_embedding(config.data.num_categories, e))
+        print(f"loaded release weights step {meta.get('step')} from {ckpt_dir}")
+        return model, variables, table
+
     mgr = CheckpointManager(ckpt_dir, None)
     table = jnp.asarray(simplex_embedding(config.data.num_categories, e))
     _, _, state = init_train_state(config)
