@@ -84,6 +84,12 @@ class TrainingConfig:
     x1_noise: float = 1e-3
     lambda_reconstruct: float = 1.0  # conditional only
     remat: bool = False  # rematerialise the forward in backward (fit larger batches)
+    # what the checkpointed forward may keep for the backward:
+    #   "dots"    — contraction results without batch dims (cheap recompute,
+    #               but at 128³ the saved qkv projections alone are 1.5 GB/stage)
+    #   "nothing" — full recompute; the minimum-HBM form that fits 128³ b1
+    #               training on one 16 GB chip
+    remat_policy: str = "dots"
     # under remat, save the conditioning-tower (EmbedATb) tensors instead of
     # recomputing them — their k=5 conv recompute carries a 2.7×-padded XLA
     # lowering temp that dominated the cond-b4 OOM dump (docs/roofline.md)

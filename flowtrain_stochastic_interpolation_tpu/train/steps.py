@@ -53,7 +53,13 @@ def remat_policy(tc, conditional: bool):
     never re-runs the k=5 convs whose lowering temp pads 2.7× on the TPU tile
     grid (docs/roofline.md "EmbedATb conv5 remat temp").
     """
-    policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if getattr(tc, "remat_policy", "dots") == "nothing":
+        # minimum-HBM form: recompute everything in the backward.  At 128³
+        # the "dots" policy's saved qkv projections are 1.5 GB per full-res
+        # attention stage — the difference between fitting on one chip or not.
+        policy = jax.checkpoint_policies.nothing_saveable
+    else:
+        policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     if conditional and tc.remat_save_atb:
         policy = jax.checkpoint_policies.save_from_both_policies(
             policy,

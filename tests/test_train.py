@@ -143,6 +143,9 @@ def test_remat_matches_no_remat(save_atb):
     for label, overrides in {
         "plain": dict(remat=False),
         "remat": dict(remat=True, remat_save_atb=save_atb),
+        "remat_nothing": dict(
+            remat=True, remat_save_atb=save_atb, remat_policy="nothing"
+        ),
     }.items():
         cfg = tiny_config(conditional=True, **overrides)
         mesh = create_mesh(1)
@@ -151,11 +154,12 @@ def test_remat_matches_no_remat(save_atb):
         _, m = step_fn(state, batch, key)
         metrics[label] = jax.tree.map(np.asarray, m)
 
-    for k in metrics["plain"]:
-        np.testing.assert_allclose(
-            metrics["remat"][k], metrics["plain"][k], rtol=1e-5, atol=1e-6,
-            err_msg=k,
-        )
+    for variant in ("remat", "remat_nothing"):
+        for k in metrics["plain"]:
+            np.testing.assert_allclose(
+                metrics[variant][k], metrics["plain"][k], rtol=1e-5, atol=1e-6,
+                err_msg=f"{variant}:{k}",
+            )
 
 
 def test_cross_resolution_warm_start(tmp_path):

@@ -67,6 +67,11 @@ def main():
     p.add_argument("--remat", action="store_true",
                    help="rematerialise the forward in the backward (fit "
                         "larger volumes/batches in HBM)")
+    p.add_argument("--remat-policy", default=None,
+                   choices=["dots", "nothing"],
+                   help="what the checkpointed forward keeps (see "
+                        "TrainingConfig.remat_policy; 'nothing' is the "
+                        "minimum-HBM form that fits 128³ b1 on one chip)")
     p.add_argument("--preset", default="flagship",
                    choices=["flagship", "tiny"],
                    help="tiny = 8³/dim-8 smoke config (CPU-friendly drive "
@@ -105,6 +110,8 @@ def main():
         training_overrides["learning_rate"] = args.lr
     if args.remat:
         training_overrides["remat"] = True
+    if args.remat_policy is not None:
+        training_overrides["remat_policy"] = args.remat_policy
     data_overrides = {"batch_size": args.batch_size}
     if args.shape is not None:
         data_overrides["shape"] = (args.shape, args.shape, args.shape)
