@@ -90,6 +90,11 @@ class TrainingConfig:
     #   "nothing" — full recompute; the minimum-HBM form that fits 128³ b1
     #               training on one 16 GB chip
     remat_policy: str = "dots"
+    # storage dtype of the objective pipeline's volume tensors (X0/X1/XT/VT):
+    # "bfloat16" halves every [B,X,Y,Z,E] buffer (loss still reduces in f32,
+    # T stays f32) — with remat_policy="nothing" this is what fits 128³ b1
+    # training on one 16 GB chip
+    objective_dtype: str = "float32"
     # under remat, save the conditioning-tower (EmbedATb) tensors instead of
     # recomputing them — their k=5 conv recompute carries a 2.7×-padded XLA
     # lowering temp that dominated the cond-b4 OOM dump (docs/roofline.md)

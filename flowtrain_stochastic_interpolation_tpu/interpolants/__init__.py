@@ -93,10 +93,14 @@ class Interpolant:
         Reference ``interpolation.py:158-185`` (eq 2.1).
         """
         self._check_z(z)
+        # coefficients are evaluated in t's dtype (f32 for precision of the
+        # schedule), then follow the *state* dtype: with bf16 x the combine
+        # stays bf16 instead of promoting every [B,X,Y,Z,E] buffer to f32 —
+        # the memory-lean objective used for 128³ single-chip training
         tb = bcast_time(t, x0)
-        xt = self.alpha(tb) * x0 + self.beta(tb) * x1
+        xt = self.alpha(tb).astype(x0.dtype) * x0 + self.beta(tb).astype(x1.dtype) * x1
         if z is not None:
-            xt = xt + self.gamma(tb) * z
+            xt = xt + self.gamma(tb).astype(z.dtype) * z
         return xt
 
     def get_bt(self, t: Array, x0: Array, x1: Array, z: Optional[Array] = None) -> Array:
@@ -106,9 +110,10 @@ class Interpolant:
         """
         self._check_z(z)
         tb = bcast_time(t, x0)
-        bt = self.alpha_dot(tb) * x0 + self.beta_dot(tb) * x1
+        bt = (self.alpha_dot(tb).astype(x0.dtype) * x0
+              + self.beta_dot(tb).astype(x1.dtype) * x1)
         if z is not None:
-            bt = bt + self.gamma_dot(tb) * z
+            bt = bt + self.gamma_dot(tb).astype(z.dtype) * z
         return bt
 
     def flow_objective(

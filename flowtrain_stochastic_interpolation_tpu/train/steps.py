@@ -101,16 +101,22 @@ def make_train_step(
                 return fwd(p, *args)
             return apply_raw(p, model_constants, *args, deterministic=deterministic, rngs=rngs)
 
+        obj_dtype = (
+            jnp.bfloat16
+            if getattr(tc, "objective_dtype", "float32") == "bfloat16"
+            else None
+        )
         if conditional:
             return conditional_loss(
                 apply_fn, params, constants, batch, key,
                 interpolant=interpolant, time_range=tc.time_range,
                 x1_noise=tc.x1_noise, lambda_reconstruct=tc.lambda_reconstruct,
+                objective_dtype=obj_dtype,
             )
         return unconditional_loss(
             apply_fn, params, constants, batch, key,
             interpolant=interpolant, time_range=tc.time_range,
-            x1_noise=tc.x1_noise,
+            x1_noise=tc.x1_noise, objective_dtype=obj_dtype,
         )
 
     @partial(jax.jit, donate_argnums=(0,))

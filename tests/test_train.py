@@ -231,3 +231,29 @@ def test_release_weights_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(orig), back, rtol=8e-3, atol=1e-6)
     # EMA present and distinct
     assert jax.tree.leaves(tree["ema_params"])
+
+
+@pytest.mark.parametrize("conditional", [False, True])
+def test_bf16_objective_close_to_f32(conditional):
+    """objective_dtype='bfloat16' matches the f32 objective to bf16 tolerance.
+
+    The bf16 pipeline (storage-halved X0/X1/XT/VT, f32 T and f32 loss
+    reductions) is the memory margin for 128³ single-chip training; this
+    pins that it computes the *same* objective, not a different one."""
+    batch = synthetic_geology_batch(jax.random.PRNGKey(0), 4, (8, 8, 8))
+    key = jax.random.PRNGKey(1)
+
+    out = {}
+    for label, overrides in {
+        "f32": {}, "bf16": dict(objective_dtype="bfloat16"),
+    }.items():
+        cfg = tiny_config(conditional=conditional, **overrides)
+        model, tx, state = init_train_state(cfg)
+        step_fn = make_train_step(model, tx, cfg)
+        _, m = step_fn(state, batch, key)
+        out[label] = jax.tree.map(np.asarray, m)
+
+    for k in out["f32"]:
+        np.testing.assert_allclose(
+            out["bf16"][k], out["f32"][k], rtol=0.1, err_msg=k
+        )

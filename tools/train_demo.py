@@ -72,6 +72,22 @@ def main():
                    help="what the checkpointed forward keeps (see "
                         "TrainingConfig.remat_policy; 'nothing' is the "
                         "minimum-HBM form that fits 128³ b1 on one chip)")
+    p.add_argument("--objective-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype of the objective volume tensors "
+                        "(TrainingConfig.objective_dtype); bfloat16 halves "
+                        "every [B,X,Y,Z,E] buffer")
+    p.add_argument("--attn-vjp", default=None,
+                   choices=["closed_form", "autodiff"],
+                   help="folded-linear-attention backward (ModelConfig."
+                        "attn_folded_vjp): the closed form materialises f32 "
+                        "[N,128] intermediates (1 GB each at 128³); autodiff "
+                        "of the einsum composition stays bf16 — the "
+                        "memory-lean choice at 128³")
+    p.add_argument("--no-ema", action="store_true",
+                   help="drop the EMA shadow tree (frees ~92 MB at flagship "
+                        "scale — the last squeeze that fits 128³ b1 training "
+                        "on one 16 GB chip)")
     p.add_argument("--preset", default="flagship",
                    choices=["flagship", "tiny"],
                    help="tiny = 8³/dim-8 smoke config (CPU-friendly drive "
@@ -112,6 +128,8 @@ def main():
         training_overrides["remat"] = True
     if args.remat_policy is not None:
         training_overrides["remat_policy"] = args.remat_policy
+    if args.objective_dtype is not None:
+        training_overrides["objective_dtype"] = args.objective_dtype
     data_overrides = {"batch_size": args.batch_size}
     if args.shape is not None:
         data_overrides["shape"] = (args.shape, args.shape, args.shape)
@@ -120,6 +138,15 @@ def main():
         data=dataclasses.replace(config.data, **data_overrides),
         training=dataclasses.replace(config.training, **training_overrides),
     )
+    if args.no_ema:
+        config = dataclasses.replace(
+            config, ema=dataclasses.replace(config.ema, enabled=False)
+        )
+    if args.attn_vjp is not None:
+        config = dataclasses.replace(
+            config,
+            model=dataclasses.replace(config.model, attn_folded_vjp=args.attn_vjp),
+        )
     args.shape = config.data.shape[0]
     init_cfg = config
     if args.shape > 64:
@@ -139,8 +166,12 @@ def main():
 
         if is_release_weights_dir(args.init_from):
             tree, _, meta = load_release_weights(args.init_from)
-            ema = tree.get("ema_params") or None
-            state = state.replace(params=tree["params"], ema_params=ema)
+            # warm-start from the source run's EMA when available: it is the
+            # weight set the source samples with (reference applies EMA at
+            # train end, cond callbacks.py:270-274)
+            start = tree.get("ema_params") or tree["params"]
+            ema = None if state.ema_params is None else start
+            state = state.replace(params=start, ema_params=ema)
             src_step = meta.get("step")
         else:
             # the current state is the restore template — same pytree
