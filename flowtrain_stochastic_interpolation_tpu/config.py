@@ -40,7 +40,8 @@ class ModelConfig:
     conditional: bool = False
     cond_variant: str = "v3"
     dtype: str = "bfloat16"  # compute dtype on TPU; params stay f32
-    # folded-linear-attention backward: "closed_form" | "autodiff" | None
+    # folded-linear-attention backward:
+    # "closed_form" | "chunked" | "autodiff" | None
     # (None = closed form unless FLOWTRAIN_AUTODIFF_ATTN_VJP was set at
     # import — a trace-time constant, see ops/linear_attention.py)
     attn_folded_vjp: str | None = None

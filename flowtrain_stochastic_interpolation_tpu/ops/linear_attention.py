@@ -372,32 +372,41 @@ _AUTODIFF_VJP_ENV_DEFAULT = os.environ.get("FLOWTRAIN_AUTODIFF_ATTN_VJP") == "1"
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _linear_attn_folded(q, k, v, mem_k, mem_v, heads: int, block_n: int,
-                        autodiff_bwd: bool):
+                        bwd_mode: str):
     return _folded_fwd(q, k, v, mem_k, mem_v, heads, block_n)
 
 
-def _folded_vjp_fwd(q, k, v, mem_k, mem_v, heads, block_n, autodiff_bwd):
+def _folded_vjp_fwd(q, k, v, mem_k, mem_v, heads, block_n, bwd_mode):
     return _folded_fwd(q, k, v, mem_k, mem_v, heads, block_n), (q, k, v, mem_k, mem_v)
 
 
-def _folded_vjp_bwd(heads, block_n, autodiff_bwd, res, dout):
+# Above this row count the one-shot closed form's [N, h·d] f32 intermediates
+# pass the GB mark (1 GB each at 128³'s 2.1M rows — measured as the
+# peak-HBM holder in the 128³ b1 train-step OOM dumps); the chunked form
+# computes identical math in row blocks.
+_CHUNKED_BWD_MIN_ROWS = 1 << 20
+
+
+def _folded_vjp_bwd(heads, block_n, bwd_mode, res, dout):
     """Backward for the folded kernel.
 
-    Default: the closed-form VJP — the controlled A/B on the uncond flagship
-    train step (same program, batch 4 × accum 2, warm caches) measured it
-    2.7× faster than autodiff-of-reference (525 vs 1425 ms/micro-step,
-    2026-08-17).  The r2 conditional 8.2 s anomaly no longer reproduces with
-    the per-head-shift backward (tools/diagnose_vjp_anomaly.py; BASELINE.md
-    r3 record); ``autodiff_bwd`` (a trace-time static) keeps the A/B
-    switchable per call.
+    Default ("closed_form"): the closed-form VJP — the controlled A/B on the
+    uncond flagship train step (same program, batch 4 × accum 2, warm caches)
+    measured it 2.7× faster than autodiff-of-reference (525 vs 1425
+    ms/micro-step, 2026-08-17); at ≥2^20 rows it auto-delegates to the
+    chunked form (same math, chunk-bounded memory).  ``bwd_mode`` (a
+    trace-time static) keeps the A/B switchable per call:
+    "closed_form" | "chunked" | "autodiff".
     """
-    if autodiff_bwd:
+    if bwd_mode == "autodiff":
         q, k, v, mem_k, mem_v = res
         _, vjp = jax.vjp(
             lambda qq, kk, vv, mk, mv: _folded_reference(qq, kk, vv, mk, mv, heads),
             q, k, v, mem_k, mem_v,
         )
         return vjp(dout)
+    if bwd_mode == "chunked" or res[0].shape[1] >= _CHUNKED_BWD_MIN_ROWS:
+        return _folded_vjp_bwd_closed_form_chunked(heads, block_n, res, dout)
     return _folded_vjp_bwd_closed_form(heads, block_n, res, dout)
 
 
@@ -458,6 +467,142 @@ def _folded_vjp_bwd_closed_form(heads, block_n, res, dout):
             dmk.astype(mem_k.dtype), dmv.astype(mem_v.dtype))
 
 
+def _folded_vjp_bwd_closed_form_chunked(heads, block_n, res, dout,
+                                        target_rows: int = 1 << 17):
+    """Closed-form backward with the [N, h·d] f32 work chunked over rows.
+
+    Identical math to :func:`_folded_vjp_bwd_closed_form` — rows couple only
+    through [b, h·d] / [b, h·d, h·d] reductions (softmax normalisers M/Z,
+    context ``ctx``, its cotangent ``d_ctx``, the column inner product) — so
+    the sequence is processed in ``lax.scan`` row blocks:
+
+    * pass 1: column max M of k;
+    * pass 2: accumulate Z (Σ eᵏ), U (Σ eᵏᵀ·v) and W (Σ s_qᵀ·dout);
+    * pass 3: accumulate the column-softmax inner product;
+    * pass 4: emit dq/dk/dv per block via in-place ``dynamic_update_slice``
+      on scan-carried output buffers (donated by XLA — no stacked copies).
+
+    Peak extra memory is a handful of [b, chunk, h·d] f32 tiles (~67 MB at
+    the default chunk) instead of [b, N, h·d] f32 (1 GB each at 128³) —
+    the memory form that lets the 128³ b1 train step fit on one chip; the
+    cost is re-reading the bf16 q/k/v/dout streams ~3× (HBM-cheap next to
+    the backward's conv traffic).
+    """
+    q, k, v, mem_k, mem_v = res
+    b, n, hd = q.shape
+    chunk = min(n, target_rows)
+    while n % chunk:
+        chunk //= 2  # dims are powers of two in practice; terminates at 1
+    if chunk < 512 and chunk != n:
+        # pathological row count — the one-shot form is fine at such sizes
+        return _folded_vjp_bwd_closed_form(heads, block_n, res, dout)
+    nc = n // chunk
+    d = hd // heads
+    scale = d**-0.5
+    f32 = jnp.float32
+    mkf, mvf = mem_k.astype(f32), mem_v.astype(f32)
+
+    gi = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // d
+    gj = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // d
+    G = (gi == gj).astype(f32)
+
+    starts = jnp.arange(nc) * chunk
+
+    def _sl(x, i):
+        return jax.lax.dynamic_slice_in_dim(x, i, chunk, axis=1)
+
+    def _s_q(qc):
+        m_q = jnp.max(qc.reshape(b, chunk, heads, d), axis=-1, keepdims=True)
+        e_q = jnp.exp(
+            qc - jnp.broadcast_to(m_q, (b, chunk, heads, d)).reshape(b, chunk, hd)
+        )
+        return e_q / jnp.einsum("bnd,de->bne", e_q, G)
+
+    # ---- pass 1: column max of k (mem seeds the running max) ----
+    def p1(m, i):
+        kc = _sl(k, i).astype(f32)
+        return jnp.maximum(m, jnp.max(kc, axis=1)), None
+
+    M0 = jnp.broadcast_to(jnp.max(mkf, axis=0)[None], (b, hd))
+    M, _ = jax.lax.scan(p1, M0, starts)
+
+    # ---- pass 2: Z, U (unnormalised ctx), W (for d_ctx) ----
+    def p2(carry, i):
+        Z, U, W = carry
+        kc = _sl(k, i).astype(f32)
+        vc = _sl(v, i).astype(f32)
+        ek = jnp.exp(kc - M[:, None, :])
+        Z = Z + jnp.sum(ek, axis=1)
+        U = U + jnp.einsum("bnd,bne->bde", ek, vc)
+        W = W + jnp.einsum(
+            "bnd,bne->bde", _s_q(_sl(q, i).astype(f32)), _sl(dout, i).astype(f32)
+        )
+        return (Z, U, W), None
+
+    em = jnp.exp(mkf[None] - M[:, None, :])  # [b, n_mem, hd]
+    (Z, U, W), _ = jax.lax.scan(
+        p2,
+        (
+            jnp.sum(em, axis=1),
+            jnp.einsum("bnd,ne->bde", em, mvf),
+            jnp.zeros((b, hd, hd), f32),
+        ),
+        starts,
+    )
+    ctx = U / Z[:, :, None] * G[None]
+    d_ctx = scale * W * G[None]
+    p_m = em / Z[:, None, :]
+    d_pm = jnp.einsum("ne,bde->bnd", mvf, d_ctx)
+
+    # ---- pass 3: column-softmax inner product over all tokens ----
+    def p3(inner, i):
+        kc = _sl(k, i).astype(f32)
+        vc = _sl(v, i).astype(f32)
+        p_kc = jnp.exp(kc - M[:, None, :]) / Z[:, None, :]
+        d_pkc = jnp.einsum("bne,bde->bnd", vc, d_ctx)
+        return inner + jnp.sum(d_pkc * p_kc, axis=1), None
+
+    inner, _ = jax.lax.scan(p3, jnp.sum(d_pm * p_m, axis=1), starts)
+
+    # ---- pass 4: per-block outputs, written in place ----
+    def p4(carry, i):
+        dqb, dkb, dvb = carry
+        qc = _sl(q, i).astype(f32)
+        kc = _sl(k, i).astype(f32)
+        vc = _sl(v, i).astype(f32)
+        doc = _sl(dout, i).astype(f32)
+        s_q = _s_q(qc)
+        d_s = scale * jnp.einsum("bne,bde->bnd", doc, ctx)
+        dqc = s_q * (d_s - jnp.einsum("bnd,de->bne", d_s * s_q, G))
+        p_kc = jnp.exp(kc - M[:, None, :]) / Z[:, None, :]
+        dvc = jnp.einsum("bnd,bde->bne", p_kc, d_ctx)
+        d_pkc = jnp.einsum("bne,bde->bnd", vc, d_ctx)
+        dkc = p_kc * (d_pkc - inner[:, None, :])
+        dqb = jax.lax.dynamic_update_slice_in_dim(
+            dqb, dqc.astype(q.dtype), i, axis=1
+        )
+        dkb = jax.lax.dynamic_update_slice_in_dim(
+            dkb, dkc.astype(k.dtype), i, axis=1
+        )
+        dvb = jax.lax.dynamic_update_slice_in_dim(
+            dvb, dvc.astype(v.dtype), i, axis=1
+        )
+        return (dqb, dkb, dvb), None
+
+    (dq, dk, dv), _ = jax.lax.scan(
+        p4,
+        (
+            jnp.zeros(q.shape, q.dtype),
+            jnp.zeros(k.shape, k.dtype),
+            jnp.zeros(v.shape, v.dtype),
+        ),
+        starts,
+    )
+    dmv = jnp.einsum("bnd,bde->ne", p_m, d_ctx)
+    dmk = jnp.sum(p_m * (d_pm - inner[:, None, :]), axis=0)
+    return (dq, dk, dv, dmk.astype(mem_k.dtype), dmv.astype(mem_v.dtype))
+
+
 _linear_attn_folded.defvjp(_folded_vjp_fwd, _folded_vjp_bwd)
 
 
@@ -472,7 +617,9 @@ def linear_attention_folded(q: Array, k: Array, v: Array,
     multiple of 128 (lane width) — the flagship config's 4×32 = 128 exactly.
     Semantics match ``unet_attn_3d.py:284-341``.
 
-    ``backward``: "closed_form" (default; measured 2.7× faster) or
+    ``backward``: "closed_form" (default; measured 2.7× faster than
+    autodiff; auto-chunks at ≥2^20 rows), "chunked" (force the row-blocked
+    closed form — chunk-bounded memory, the 128³-training form), or
     "autodiff"; None defers to the ``FLOWTRAIN_AUTODIFF_ATTN_VJP`` env var
     *as read at import time* (trace-time static — flipping the env after
     first compile has no effect; pass the argument or set
@@ -481,10 +628,9 @@ def linear_attention_folded(q: Array, k: Array, v: Array,
     b, n, hd = q.shape
     if hd % 128 != 0:
         raise ValueError(f"folded head dim {hd} must be a multiple of 128")
-    if backward not in (None, "closed_form", "autodiff"):
+    if backward not in (None, "closed_form", "chunked", "autodiff"):
         raise ValueError(f"unknown backward {backward!r}")
-    autodiff_bwd = (
-        _AUTODIFF_VJP_ENV_DEFAULT if backward is None else backward == "autodiff"
-    )
+    if backward is None:
+        backward = "autodiff" if _AUTODIFF_VJP_ENV_DEFAULT else "closed_form"
     block_n = min(block_n, _round_up(n, 128))
-    return _linear_attn_folded(q, k, v, mem_k, mem_v, heads, block_n, autodiff_bwd)
+    return _linear_attn_folded(q, k, v, mem_k, mem_v, heads, block_n, backward)

@@ -211,3 +211,45 @@ def test_module_semantics_match_torch_reference_composition():
     out_einsum = jnp.einsum("bhde,bnhd->bnhe", ctx, qs)
     ref = linear_attention_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out_einsum), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_closed_form_vjp_matches_oneshot():
+    """Row-chunked closed-form backward == one-shot closed form == autodiff.
+
+    The chunked form (4 lax.scan passes, chunk-bounded f32 memory) is what
+    makes the 128³ b1 train step fit on one chip; rows couple only through
+    the softmax normalisers / context reductions, so the math is identical
+    up to f32 reassociation."""
+    from flowtrain_stochastic_interpolation_tpu.ops.linear_attention import (
+        _folded_reference,
+        _folded_vjp_bwd_closed_form,
+        _folded_vjp_bwd_closed_form_chunked,
+    )
+
+    heads, d = 4, 32
+    n = 96 * 3  # deliberately not a power of two: chunk divisor search
+    keys = jax.random.split(jax.random.PRNGKey(7), 6)
+    q = jax.random.normal(keys[0], (2, n, heads * d))
+    k = jax.random.normal(keys[1], (2, n, heads * d))
+    v = jax.random.normal(keys[2], (2, n, heads * d))
+    mk = jax.random.normal(keys[3], (4, heads * d))
+    mv = jax.random.normal(keys[4], (4, heads * d))
+    dout = jax.random.normal(keys[5], (2, n, heads * d))
+
+    res = (q, k, v, mk, mv)
+    g_one = _folded_vjp_bwd_closed_form(heads, 128, res, dout)
+    g_chk = _folded_vjp_bwd_closed_form_chunked(heads, 128, res, dout,
+                                                target_rows=96)
+    for a, b_ in zip(g_one, g_chk):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)
+
+    # and both match autodiff of the reference composition
+    _, vjp = jax.vjp(
+        lambda qq, kk, vv, mkk, mvv: _folded_reference(qq, kk, vv, mkk, mvv, heads),
+        q, k, v, mk, mv,
+    )
+    g_ad = vjp(dout)
+    for a, b_ in zip(g_ad, g_chk):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)

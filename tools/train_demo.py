@@ -78,12 +78,11 @@ def main():
                         "(TrainingConfig.objective_dtype); bfloat16 halves "
                         "every [B,X,Y,Z,E] buffer")
     p.add_argument("--attn-vjp", default=None,
-                   choices=["closed_form", "autodiff"],
+                   choices=["closed_form", "chunked", "autodiff"],
                    help="folded-linear-attention backward (ModelConfig."
-                        "attn_folded_vjp): the closed form materialises f32 "
-                        "[N,128] intermediates (1 GB each at 128³); autodiff "
-                        "of the einsum composition stays bf16 — the "
-                        "memory-lean choice at 128³")
+                        "attn_folded_vjp). closed_form auto-chunks at >=2^20 "
+                        "rows; 'chunked' forces the row-blocked form "
+                        "(chunk-bounded memory — the 128³ training choice)")
     p.add_argument("--no-ema", action="store_true",
                    help="drop the EMA shadow tree (frees ~92 MB at flagship "
                         "scale — the last squeeze that fits 128³ b1 training "
