@@ -45,6 +45,12 @@ class ModelConfig:
     # (None = closed form unless FLOWTRAIN_AUTODIFF_ATTN_VJP was set at
     # import — a trace-time constant, see ops/linear_attention.py)
     attn_folded_vjp: str | None = None
+    # per-block rematerialisation inside the UNet (jax.checkpoint around each
+    # ResnetBlock/attention): bounds backward activation liveness to one
+    # block — the form that fits 128³ b1 training on one chip (a single
+    # whole-forward checkpoint cannot: its transpose keeps the entire
+    # recomputed forward live)
+    remat_blocks: bool = False
 
 
 @dataclass(frozen=True)

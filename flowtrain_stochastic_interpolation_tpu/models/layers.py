@@ -353,8 +353,12 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: Array, time_emb: Optional[Array] = None, *, deterministic: bool = True
+        self, x: Array, time_emb: Optional[Array] = None, deterministic: bool = True
     ) -> Array:
+        # NOTE: ``deterministic`` is positional-allowed (not keyword-only) so
+        # ``nn.remat(ResnetBlock, static_argnums=...)`` can mark it static —
+        # per-block rematerialisation is what bounds the 128³ backward's
+        # activation liveness (UNet.remat_blocks).
         scale_shift = None
         if self.time_emb and time_emb is not None:
             h_t = nn.silu(time_emb)

@@ -97,6 +97,13 @@ class UNet(nn.Module):
     attn_heads: Union[int, Sequence[int]] = 4
     full_attn: Optional[Sequence[bool]] = None
     flash_attn: bool = True
+    # rematerialise each ResnetBlock/attention in the backward (per-block
+    # jax.checkpoint).  Unlike a single whole-forward checkpoint — whose
+    # transpose recomputes the entire forward and keeps every recomputed
+    # activation live until its backward use — per-block scope bounds the
+    # peak to one block's internals + the saved block boundaries: the
+    # structural fix that fits the 128³ b1 train step on one 16 GB chip.
+    remat_blocks: bool = False
     fused_folded_attn: bool = True  # head-folded Pallas linear attention
     folded_attn_vjp: Optional[str] = None  # trace-time backward choice
     dtype: Dtype = None
@@ -115,6 +122,8 @@ class UNet(nn.Module):
         if not self.attn_enabled:
             return None
         klass = Attention if full else LinearAttention
+        if self.remat_blocks:
+            klass = nn.remat(klass)
         kwargs = dict(dim=dim, heads=heads, dim_head=dim_head, dtype=self.dtype,
                       name=name, spatial_axis=self.spatial_axis)
         if full:
@@ -170,7 +179,12 @@ class UNet(nn.Module):
             name="time_mlp",
         )(time.astype(compute_dtype))
 
-        res = lambda dim_out, name: ResnetBlock(
+        RB = ResnetBlock
+        if self.remat_blocks:
+            # deterministic (argnum 3: module instance is 0) is a Python
+            # bool that flax Dropout branches on — it must be static
+            RB = nn.remat(ResnetBlock, static_argnums=(3,))
+        res = lambda dim_out, name: RB(
             dim_out, self.ndim, dropout=self.dropout, dtype=self.dtype, name=name,
             spatial_axis=self.spatial_axis,
         )
@@ -185,9 +199,9 @@ class UNet(nn.Module):
         # ---- down path (ref forward :689-698) ----
         for i, (dim_in, dim_out) in enumerate(in_out):
             is_last = i >= (n_stages - 1)
-            x = res(dim_in, f"downs_{i}_block1")(x, t, deterministic=deterministic)
+            x = res(dim_in, f"downs_{i}_block1")(x, t, deterministic)
             skips.append(x)
-            x = res(dim_in, f"downs_{i}_block2")(x, t, deterministic=deterministic)
+            x = res(dim_in, f"downs_{i}_block2")(x, t, deterministic)
             attn = self._attn(dim_in, full_attn[i], heads[i], dim_heads[i], f"downs_{i}_attn")
             if attn is not None:
                 x = attn(x) + x
@@ -202,11 +216,11 @@ class UNet(nn.Module):
 
         # ---- bottleneck (ref :700-703) ----
         mid_dim = dims[-1]
-        x = res(mid_dim, "mid_block1")(x, t, deterministic=deterministic)
+        x = res(mid_dim, "mid_block1")(x, t, deterministic)
         mid_attn = self._attn(mid_dim, True, heads[-1], dim_heads[-1], "mid_attn")
         if mid_attn is not None:
             x = mid_attn(x) + x
-        x = res(mid_dim, "mid_block2")(x, t, deterministic=deterministic)
+        x = res(mid_dim, "mid_block2")(x, t, deterministic)
 
         # ---- up path (ref :705-714) ----
         for i, ((dim_in, dim_out), fa, hh, dh) in enumerate(
@@ -214,9 +228,9 @@ class UNet(nn.Module):
         ):
             is_last = i == (n_stages - 1)
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = res(dim_out, f"ups_{i}_block1")(x, t, deterministic=deterministic)
+            x = res(dim_out, f"ups_{i}_block1")(x, t, deterministic)
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = res(dim_out, f"ups_{i}_block2")(x, t, deterministic=deterministic)
+            x = res(dim_out, f"ups_{i}_block2")(x, t, deterministic)
             attn = self._attn(dim_out, fa, hh, dh, f"ups_{i}_attn")
             if attn is not None:
                 x = attn(x) + x
@@ -230,7 +244,7 @@ class UNet(nn.Module):
 
         # ---- head (ref :716-719) ----
         x = jnp.concatenate([x, r], axis=-1)
-        x = res(self.dim, "final_res_block")(x, t, deterministic=deterministic)
+        x = res(self.dim, "final_res_block")(x, t, deterministic)
         out = nn.Dense(self.data_channels, dtype=self.dtype, name="final_conv")(x)
         return out.astype(jnp.float32)
 

@@ -147,6 +147,7 @@ class UNet3DCond(nn.Module):
     flash_attn: bool = True
     fused_folded_attn: bool = True  # head-folded Pallas linear attention
     folded_attn_vjp: Optional[str] = None  # trace-time backward choice
+    remat_blocks: bool = False  # per-block jax.checkpoint (see UNet.remat_blocks)
     variant: str = "v3"
     dtype: Dtype = None
     spatial_axis: Optional[str] = None  # X sharded over this mesh axis (shard_map)
@@ -159,6 +160,8 @@ class UNet3DCond(nn.Module):
         if not self.attn_enabled:
             return None
         klass = Attention if full else LinearAttention
+        if self.remat_blocks:
+            klass = nn.remat(klass)
         kwargs = dict(dim=dim, heads=heads, dim_head=dim_head, dtype=self.dtype,
                       name=name, spatial_axis=self.spatial_axis)
         if full:
@@ -222,7 +225,10 @@ class UNet3DCond(nn.Module):
             name="time_mlp",
         )(time.astype(compute_dtype))
 
-        res = lambda dim_out, name: ResnetBlock(
+        RB = ResnetBlock
+        if self.remat_blocks:
+            RB = nn.remat(ResnetBlock, static_argnums=(3,))
+        res = lambda dim_out, name: RB(
             dim_out, 3, dropout=self.dropout, dtype=self.dtype, name=name,
             spatial_axis=self.spatial_axis,
         )
@@ -246,9 +252,9 @@ class UNet3DCond(nn.Module):
         for i, (dim_in, dim_out) in enumerate(in_out):
             is_last = i >= (n_stages - 1)
             x = fuse(x, t, dim_in, 0.5**i, f"downs_{i}_atb")
-            x = res(dim_in, f"downs_{i}_block1")(x, t, deterministic=deterministic)
+            x = res(dim_in, f"downs_{i}_block1")(x, t, deterministic)
             skips.append(x)
-            x = res(dim_in, f"downs_{i}_block2")(x, t, deterministic=deterministic)
+            x = res(dim_in, f"downs_{i}_block2")(x, t, deterministic)
             attn = self._attn(dim_in, full_attn[i], heads[i], dim_heads[i], f"downs_{i}_attn")
             if attn is not None:
                 x = attn(x) + x
@@ -261,11 +267,11 @@ class UNet3DCond(nn.Module):
                             spatial_axis=self.spatial_axis)(x)
 
         mid_dim = dims[-1]
-        x = res(mid_dim, "mid_block1")(x, t, deterministic=deterministic)
+        x = res(mid_dim, "mid_block1")(x, t, deterministic)
         mid_attn = self._attn(mid_dim, True, heads[-1], dim_heads[-1], "mid_attn")
         if mid_attn is not None:
             x = mid_attn(x) + x
-        x = res(mid_dim, "mid_block2")(x, t, deterministic=deterministic)
+        x = res(mid_dim, "mid_block2")(x, t, deterministic)
 
         for i, ((dim_in, dim_out), fa, hh, dh) in enumerate(
             zip(in_out[::-1], full_attn[::-1], heads[::-1], dim_heads[::-1])
@@ -274,9 +280,9 @@ class UNet3DCond(nn.Module):
             if self.variant != "v1":  # v1 conditions on the down path only
                 x = fuse(x, t, dim_out, 0.5 ** (n_stages - i - 1), f"ups_{i}_atb")
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = res(dim_out, f"ups_{i}_block1")(x, t, deterministic=deterministic)
+            x = res(dim_out, f"ups_{i}_block1")(x, t, deterministic)
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = res(dim_out, f"ups_{i}_block2")(x, t, deterministic=deterministic)
+            x = res(dim_out, f"ups_{i}_block2")(x, t, deterministic)
             attn = self._attn(dim_out, fa, hh, dh, f"ups_{i}_attn")
             if attn is not None:
                 x = attn(x) + x
@@ -288,6 +294,6 @@ class UNet3DCond(nn.Module):
                             spatial_axis=self.spatial_axis)(x)
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = res(self.dim, "final_res_block")(x, t, deterministic=deterministic)
+        x = res(self.dim, "final_res_block")(x, t, deterministic)
         out = nn.Dense(self.data_channels, dtype=self.dtype, name="final_conv")(x)
         return out.astype(jnp.float32)

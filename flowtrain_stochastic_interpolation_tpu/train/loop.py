@@ -65,6 +65,7 @@ def build_model(config: ExperimentConfig, spatial_axis=None):
         flash_attn=mc.flash_attn,
         fused_folded_attn=mc.fused_folded_attn,
         folded_attn_vjp=mc.attn_folded_vjp,
+        remat_blocks=mc.remat_blocks,
         dtype=dtype,
     )
     if mc.conditional:

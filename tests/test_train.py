@@ -257,3 +257,36 @@ def test_bf16_objective_close_to_f32(conditional):
         np.testing.assert_allclose(
             out["bf16"][k], out["f32"][k], rtol=0.1, err_msg=k
         )
+
+
+def test_remat_blocks_matches_plain():
+    """Per-block remat (UNet.remat_blocks) == plain model: identical param
+    tree (nn.remat preserves naming → converter/checkpoint compatible),
+    identical loss, grads equal to recompute-reassociation tolerance, and
+    the dropout path traces (deterministic is static through nn.remat)."""
+    from flowtrain_stochastic_interpolation_tpu.models.unet import UNet3D
+
+    common = dict(dim=8, dim_mults=(1, 2), data_channels=15, dropout=0.1,
+                  time_resolution=16, time_bandwidth=10.0,
+                  time_learned_emb=True, attn_dim_head=4, attn_heads=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 8, 15))
+    t = jnp.array([0.3, 0.7])
+    m0, m1 = UNet3D(**common), UNet3D(**common, remat_blocks=True)
+    v0 = m0.init(jax.random.PRNGKey(1), x, t)
+    v1 = m1.init(jax.random.PRNGKey(1), x, t)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+
+    def loss(vs, m):
+        return jnp.sum(jnp.square(m.apply(vs, x, t, deterministic=True)))
+
+    l0, g0 = jax.value_and_grad(loss)(v0, m0)
+    l1, g1 = jax.value_and_grad(loss)(v1, m1)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        # recompute reorders float accumulation: observed max 3.5e-4 relative
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-3)
+
+    out = m1.apply(v1, x, t, deterministic=False,
+                   rngs={"dropout": jax.random.PRNGKey(2)})
+    assert np.isfinite(np.asarray(out)).all()

@@ -83,6 +83,11 @@ def main():
                         "attn_folded_vjp). closed_form auto-chunks at >=2^20 "
                         "rows; 'chunked' forces the row-blocked form "
                         "(chunk-bounded memory — the 128³ training choice)")
+    p.add_argument("--remat-blocks", action="store_true",
+                   help="per-block jax.checkpoint inside the UNet "
+                        "(ModelConfig.remat_blocks): bounds backward "
+                        "activation liveness to one block — the form that "
+                        "fits 128³ b1 training on one chip")
     p.add_argument("--no-ema", action="store_true",
                    help="drop the EMA shadow tree (frees ~92 MB at flagship "
                         "scale — the last squeeze that fits 128³ b1 training "
@@ -141,10 +146,14 @@ def main():
         config = dataclasses.replace(
             config, ema=dataclasses.replace(config.ema, enabled=False)
         )
+    model_overrides = {}
     if args.attn_vjp is not None:
+        model_overrides["attn_folded_vjp"] = args.attn_vjp
+    if args.remat_blocks:
+        model_overrides["remat_blocks"] = True
+    if model_overrides:
         config = dataclasses.replace(
-            config,
-            model=dataclasses.replace(config.model, attn_folded_vjp=args.attn_vjp),
+            config, model=dataclasses.replace(config.model, **model_overrides)
         )
     args.shape = config.data.shape[0]
     init_cfg = config
