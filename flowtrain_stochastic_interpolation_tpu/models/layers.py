@@ -66,7 +66,10 @@ class Conv3DFast(nn.Module):
     even grids runs as the numerically-equivalent phase-fat strided conv
     (:func:`ops.fat_conv.fat_conv3d` — measured 2.25× faster at the flagship
     shape; 3³ convs measured *slower* in fat form and stay direct, see
-    ``use_fat_conv``); everything else takes the direct
+    ``use_fat_conv``); narrow 3³ convs on large grids run in the z2-packed
+    lane-filling form (:func:`ops.packed_conv.packed_conv3d` — 1.26× at the
+    dominant 64³/48-channel shape, measured dispatch rule in
+    ``use_packed_conv``); everything else takes the direct
     ``lax.conv_general_dilated`` path.
     """
 
@@ -80,6 +83,10 @@ class Conv3DFast(nn.Module):
         from flowtrain_stochastic_interpolation_tpu.ops.fat_conv import (
             fat_conv3d,
             use_fat_conv,
+        )
+        from flowtrain_stochastic_interpolation_tpu.ops.packed_conv import (
+            packed_conv3d,
+            use_packed_conv,
         )
 
         k = self.kernel
@@ -97,6 +104,8 @@ class Conv3DFast(nn.Module):
         bias_c = None if bias is None else bias.astype(dtype)
         if use_fat_conv(x.shape[1:-1], self.features, k):
             return fat_conv3d(x, kernel, bias_c)
+        if use_packed_conv(x.shape[:-1], x.shape[-1], self.features, k):
+            return packed_conv3d(x, kernel, bias_c)
         out = jax.lax.conv_general_dilated(
             x, kernel, (1, 1, 1), "SAME",
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
