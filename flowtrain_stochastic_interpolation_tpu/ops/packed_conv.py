@@ -96,25 +96,26 @@ def use_packed_conv(shape: Tuple[int, ...], cin: int, cout: int,
     """Shape classes where the z2-packed form measured faster than direct.
 
     ``shape`` is ``(B, X, Y, Z)``.  On-TPU A/B over every flagship conv
-    class, fwd and fwd+bwd (v5e, 2026-08-18, ``tools/bench_packed_conv.py``):
+    class, fwd and fwd+bwd (v5e, 2026-08-18, ``tools/bench_packed_conv.py``);
+    the separating predictor is **grid size, not voxel count**:
 
-    - 48→48 at ≥2²¹ voxels (64³ b8, 128³ b1): **1.26–1.32× fwd,
-      1.12–1.31× fwd+bwd** — the dominant cost of the flagship UNet.
-    - 96→48 at 128³ b1: 1.23× fwd, 1.00× fwd+bwd — taken for sampling,
-      harmless for training.
-    - Everything else measured *slower* packed: 48→48 at 32³ b8 (0.68×
-      fwd), 96→48 at 64³ b8 (0.65× fwd+bwd), and all ≥96-channel classes
-      (direct conv is already lane-filled there — 111–160 TF/s — so the
-      2× packed FLOPs only hurt).  Those keep the direct form.
+    - 48→48 on ≥64³ grids wins at every measured batch: b1 128³
+      1.32×/1.31×, b2 64³ 1.46×/1.43×, b4 64³ 1.29×/1.25×, b8 64³
+      1.26×/1.12×, b16 64³ 1.21×/1.06× (fwd / fwd+bwd) — the dominant
+      cost of the flagship UNet at train AND sampling batches.
+    - 96→48 wins only at 128³ b1 (1.23× fwd, 1.00× fwd+bwd); at 64³ b8 it
+      loses 0.65× fwd+bwd.
+    - 32³ grids lose (48→48 b8: 0.68× fwd — packed z′=16 tiles poorly),
+      as do all ≥96-channel equal-width classes (direct conv is already
+      lane-filled there, 111–160 TF/s; the 2× packed FLOPs only hurt).
     """
     if kernel != 3 or len(shape) != 4:
         return False
     b, sx, sy, sz = shape
     if sz % 2:
         return False
-    voxels = b * sx * sy * sz
-    if voxels < 2 ** 21:
+    if min(sx, sy, sz) < 64:
         return False
     if cin <= 48 and cout <= 48:
         return True
-    return cin <= 96 and cout <= 48 and b == 1
+    return cin <= 96 and cout <= 48 and b == 1 and min(sx, sy, sz) >= 128

@@ -72,13 +72,17 @@ def test_packed_gradients_match_direct():
 
 
 def test_dispatch_rule():
-    # measured winners: 48→48 at ≥2²¹ voxels; 96→48 at 128³ b1
+    # measured winners: 48→48 on ≥64³ grids at every batch; 96→48 at 128³ b1
     assert use_packed_conv((8, 64, 64, 64), 48, 48, 3)
+    assert use_packed_conv((4, 64, 64, 64), 48, 48, 3)          # 1.25× f+b
+    assert use_packed_conv((2, 64, 64, 64), 48, 48, 3)          # 1.43× f+b
+    assert use_packed_conv((16, 64, 64, 64), 48, 48, 3)         # 1.21× fwd
     assert use_packed_conv((1, 128, 128, 128), 48, 48, 3)
     assert use_packed_conv((1, 128, 128, 128), 96, 48, 3)
     # measured losers stay direct
     assert not use_packed_conv((8, 32, 32, 32), 48, 48, 3)      # 0.68× fwd
     assert not use_packed_conv((8, 64, 64, 64), 96, 48, 3)      # 0.65× f+b
+    assert not use_packed_conv((1, 64, 64, 64), 96, 48, 3)      # 96-class needs 128³
     assert not use_packed_conv((8, 32, 32, 32), 96, 96, 3)      # lane-filled
     # odd z and non-3³ kernels stay direct
     assert not use_packed_conv((8, 64, 64, 63), 48, 48, 3)

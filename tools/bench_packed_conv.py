@@ -42,6 +42,8 @@ SHAPES = [
     (4, 64, 48, 48),    # train micro-batch (b4 × accum-2) level-0 blocks
     (4, 64, 96, 48),    # train micro-batch up concat
     (2, 64, 48, 48),    # conditional train micro-batch (b2 × accum-4)
+    (16, 64, 48, 48),   # b16 sampling saturation row
+    (1, 64, 48, 48),    # single-sample inference
 ]
 
 
