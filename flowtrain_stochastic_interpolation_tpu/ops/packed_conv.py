@@ -100,9 +100,10 @@ def use_packed_conv(shape: Tuple[int, ...], cin: int, cout: int,
     the separating predictor is **grid size, not voxel count**:
 
     - 48→48 on ≥64³ grids wins at every measured batch: b1 128³
-      1.32×/1.31×, b2 64³ 1.46×/1.43×, b4 64³ 1.29×/1.25×, b8 64³
-      1.26×/1.12×, b16 64³ 1.21×/1.06× (fwd / fwd+bwd) — the dominant
-      cost of the flagship UNet at train AND sampling batches.
+      1.32×/1.31×, b1 64³ 1.10×/1.21×, b2 64³ 1.46×/1.43×, b4 64³
+      1.29×/1.25×, b8 64³ 1.26×/1.12×, b16 64³ 1.21×/1.06×
+      (fwd / fwd+bwd) — the dominant cost of the flagship UNet at train
+      AND sampling batches.
     - 96→48 wins only at 128³ b1 (1.23× fwd, 1.00× fwd+bwd); at 64³ b8 it
       loses 0.65× fwd+bwd.
     - 32³ grids lose (48→48 b8: 0.68× fwd — packed z′=16 tiles poorly),
