@@ -24,7 +24,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from flowtrain_stochastic_interpolation_tpu.ops.packed_conv import packed_conv3d
 
-# (B, S, Cin, Cout) — S³ grid; every flagship 3³ conv class with S >= 8
+# (B, S, Cin, Cout[, k]) — S³ grid; every flagship 3³ conv class with S >= 8,
+# plus the conditional EmbedATb k=5 tower classes (docs/roofline.md open lead)
 SHAPES = [
     (8, 64, 48, 48),    # dominant: level-0 block convs
     (8, 64, 96, 48),    # up-path concat conv at level 0
@@ -44,6 +45,17 @@ SHAPES = [
     (2, 64, 48, 48),    # conditional train micro-batch (b2 × accum-4)
     (16, 64, 48, 48),   # b16 sampling saturation row
     (1, 64, 48, 48),    # single-sample inference
+    # EmbedATb k=5 tower convs (cond flagship: data_channels=15, dim=48).
+    # k=5 packs 5 z-taps into 3 packed taps ⇒ only 1.2× structural-zero FLOPs.
+    (2, 64, 15, 48, 5),   # downs_0/ups_4 embed conv1, train micro-batch
+    (2, 64, 48, 48, 5),   # downs_0/ups_4 embed conv2
+    (4, 64, 15, 48, 5),
+    (4, 64, 48, 48, 5),
+    (8, 64, 15, 48, 5),   # conditional sampling batch
+    (8, 64, 48, 48, 5),
+    (2, 32, 48, 48, 5),   # downs_1/ups_3 embed (32³ lost for k=3; re-check)
+    (1, 64, 15, 48, 5),   # single-sample conditional inference
+    (1, 64, 48, 48, 5),
 ]
 
 
@@ -111,17 +123,19 @@ def main():
               if not prefixes or any(sh[:len(p)] == p for p in prefixes)]
     print(f"{'shape':>22} | {'direct fwd':>16} | {'packed fwd':>16} | ratio"
           f" | {'direct f+b':>16} | {'packed f+b':>16} | ratio")
-    for b, s, ci, co in shapes:
+    for row in shapes:
+        b, s, ci, co = row[:4]
+        k = row[4] if len(row) > 4 else 3
         x = jax.random.normal(jax.random.PRNGKey(0), (b, s, s, s, ci), jnp.bfloat16)
-        w = (jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, ci, co), jnp.float32)
-             / (27 * ci) ** 0.5).astype(jnp.bfloat16)
+        w = (jax.random.normal(jax.random.PRNGKey(1), (k, k, k, ci, co), jnp.float32)
+             / (k ** 3 * ci) ** 0.5).astype(jnp.bfloat16)
         # numerics check
         yd = jax.jit(direct_conv)(x, w)
         yp = jax.jit(packed_conv3d)(x, w)
         err = float(jnp.max(jnp.abs(yd.astype(jnp.float32) - yp.astype(jnp.float32))))
         sc = float(jnp.max(jnp.abs(yd.astype(jnp.float32)))) + 1e-9
 
-        flops = 2 * b * s ** 3 * 27 * ci * co
+        flops = 2 * b * s ** 3 * k ** 3 * ci * co
         tf_d, per_d = bench_rate(direct_conv, x, w, ci, co, flops)
         tf_p, per_p = bench_rate(packed_conv3d, x, w, ci, co, flops)
         tf_dg, per_dg = bench_rate(direct_conv, x, w, ci, co, 3 * flops, grad=True)
