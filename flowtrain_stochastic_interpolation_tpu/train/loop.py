@@ -234,8 +234,11 @@ def train(
         if mgr and step % config.training.checkpoint_every_steps == 0:
             mgr.save(step, state, metrics={"train_loss": float(metrics["train_loss"])})
 
-    # block for an honest timing figure
+    # Block for an honest timing figure.  The scalar readback is the real
+    # fence: bare block_until_ready has been observed returning at launch on
+    # the axon tunnel platform (BASELINE.md packed-conv 2b measurement note).
     jax.block_until_ready(state.params)
+    float(jnp.asarray(jax.tree.leaves(state.params)[0]).ravel()[0])
     t_end = time.perf_counter()
     if mgr:
         mgr.save(step, state, metrics={"train_loss": history[-1]["train_loss"] if history else 0.0})

@@ -19,7 +19,23 @@ import time
 from typing import Callable, Dict, List
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+
+def _fence(out) -> None:
+    """True completion fence: block, then force a scalar host readback.
+
+    Bare ``block_until_ready`` has been observed returning at launch (not
+    completion) on the axon remote-TPU tunnel; the readback of one element
+    from the first array leaf is what actually waits for the device
+    (BASELINE.md packed-conv 2b measurement note).
+    """
+    jax.block_until_ready(out)
+    leaves = jax.tree.leaves(out)
+    if leaves:
+        # one-element device slice → scalar transfer (not the whole array)
+        float(jnp.asarray(leaves[0]).ravel()[0].astype(jnp.float32))
 
 
 @contextlib.contextmanager
@@ -43,7 +59,7 @@ class StepTimer:
     def __call__(self, fn: Callable, *args, **kwargs):
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        _fence(out)
         dt = time.perf_counter() - t0
         self._seen += 1
         if self._seen > self.warmup:
@@ -67,5 +83,5 @@ def compile_time(fn: Callable, *args, **kwargs) -> float:
     """Seconds spent in trace+compile+first-execution of a jitted callable."""
     t0 = time.perf_counter()
     out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    _fence(out)
     return time.perf_counter() - t0
