@@ -223,6 +223,11 @@ def main():
     from flowtrain_stochastic_interpolation_tpu.parallel import maybe_initialize
 
     maybe_initialize()
+    if (args.train_devices or "").strip().lower() == "cpu":
+        # force the platform BEFORE the first jax.devices() call: once the
+        # TPU backend initialises, 'cpu' can no longer exclude it, and on
+        # the axon tunnel even backend init blocks on the remote grant
+        jax.config.update("jax_platforms", "cpu")
     config = unconditional_64() if args.preset == "flagship" else tiny_test()
     dirs = setup_directories(args.root_dir, config.name)
     print(f"mode={args.mode} devices={jax.devices()}")

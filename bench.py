@@ -32,6 +32,7 @@ large fused program.  The per-step dispatch overhead is ~1 ms against
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import statistics
@@ -89,8 +90,30 @@ def _program_flops(jitted, *args) -> float:
         return 0.0
 
 
+@contextlib.contextmanager
+def _direct_conv_dispatch():
+    """Disable the z2-packed conv dispatch for a cost-analysis trace.
+
+    The packed layout carries structurally-zero FLOPs that XLA's cost
+    analysis counts (k=3: 2x, k=5: 1.2x — BASELINE.md packed-conv record),
+    inflating program-FLOPs MFU over the true silicon efficiency.  Costing
+    the direct-conv formulation of the same model gives model FLOPs; the
+    direct program matches pre-packed rounds' and sits in the persistent
+    compile cache.
+    """
+    from flowtrain_stochastic_interpolation_tpu.ops import packed_conv
+
+    orig = packed_conv.use_packed_conv
+    packed_conv.use_packed_conv = lambda *a, **k: False
+    try:
+        yield
+    finally:
+        packed_conv.use_packed_conv = orig
+
+
 def measure_sampling(batch: int, min_measure_s: float = MIN_MEASURE_S,
-                     min_runs: int = MIN_RUNS) -> dict:
+                     min_runs: int = MIN_RUNS,
+                     with_model_flops: bool = True) -> dict:
     from flowtrain_stochastic_interpolation_tpu.config import unconditional_64
     from flowtrain_stochastic_interpolation_tpu.ops.embedding import (
         decode,
@@ -118,6 +141,7 @@ def measure_sampling(batch: int, min_measure_s: float = MIN_MEASURE_S,
         return model.apply(variables, x, t)
 
     flops_per_run = 0.0
+    model_flops_per_run = 0.0
     if os.environ.get("BENCH_FUSED") != "0":
         # single compiled program: noise -> 120-NFE RK4 (final-state-only
         # scan) -> decode.  No per-step dispatch (~50 ms tunnel roundtrip
@@ -152,6 +176,16 @@ def measure_sampling(batch: int, min_measure_s: float = MIN_MEASURE_S,
             flops_per_run = _program_flops(
                 step_for_cost, x_init, jnp.asarray(T0, jnp.float32)
             ) * (N_FRAMES - 1) * SUBSTEPS
+            if with_model_flops:
+                with _direct_conv_dispatch():
+                    step_direct = jax.jit(
+                        lambda x, t: rk4_step(
+                            velocity, x, t, jnp.asarray(h_cost, jnp.float32)
+                        )
+                    )
+                    model_flops_per_run = _program_flops(
+                        step_direct, x_init, jnp.asarray(T0, jnp.float32)
+                    ) * (N_FRAMES - 1) * SUBSTEPS
         except Exception as exc:
             import sys
 
@@ -188,6 +222,14 @@ def measure_sampling(batch: int, min_measure_s: float = MIN_MEASURE_S,
         flops_per_run = _program_flops(
             step, x_init, jnp.asarray(T0, jnp.float32)
         ) * (N_FRAMES - 1) * SUBSTEPS
+        if with_model_flops:
+            with _direct_conv_dispatch():
+                step_direct = jax.jit(
+                    lambda x, t: rk4(velocity, x, t, jnp.asarray(h, jnp.float32))
+                )
+                model_flops_per_run = _program_flops(
+                    step_direct, x_init, jnp.asarray(T0, jnp.float32)
+                ) * (N_FRAMES - 1) * SUBSTEPS
 
     if not fused_ok:
         run(key)  # warmup / compile (the fused path already ran its probe)
@@ -217,6 +259,13 @@ def measure_sampling(batch: int, min_measure_s: float = MIN_MEASURE_S,
         achieved = flops_per_run * (med / 60.0 / batch)
         out["mfu"] = achieved / (PEAK_TFLOPS_BF16 * 1e12)
         out["program_tflops_per_run"] = flops_per_run / 1e12
+    if model_flops_per_run > 0:
+        # model FLOPs exclude the packed layout's structural zeros — the
+        # round-over-round comparable figure (BASELINE.md MFU bookkeeping)
+        out["model_mfu"] = (
+            model_flops_per_run * (med / 60.0 / batch)
+        ) / (PEAK_TFLOPS_BF16 * 1e12)
+        out["model_tflops_per_run"] = model_flops_per_run / 1e12
     return out
 
 
@@ -252,6 +301,10 @@ def measure_train() -> dict:
     # micro-step program FLOPs (fwd+bwd+update; no lax.scan over the model
     # inside one micro-step, so XLA's cost analysis counts it fully)
     train_flops = _program_flops(train_step, state, batch, key)
+    with _direct_conv_dispatch():
+        model_train_flops = _program_flops(
+            make_train_step(model, tx, config), state, batch, key
+        )
 
     n_micro = TRAIN_EFFECTIVE_STEPS * TRAIN_ACCUM
     t0 = time.perf_counter()
@@ -266,6 +319,10 @@ def measure_train() -> dict:
     }
     if train_flops > 0:
         out["train_mfu"] = (train_flops * n_micro / dt) / (
+            PEAK_TFLOPS_BF16 * 1e12
+        )
+    if model_train_flops > 0:
+        out["model_train_mfu"] = (model_train_flops * n_micro / dt) / (
             PEAK_TFLOPS_BF16 * 1e12
         )
     return out
@@ -293,12 +350,18 @@ def main() -> None:
         record["program_tflops_per_run"] = round(
             sampling["program_tflops_per_run"], 2
         )
+    if "model_mfu" in sampling:
+        record["model_mfu"] = round(sampling["model_mfu"], 4)
+        record["model_tflops_per_run"] = round(
+            sampling["model_tflops_per_run"], 2
+        )
     # batch-scaling row (VERDICT r2 weak #4): one b16 measurement — does
     # samples/min rise with batch on one chip?  Opt out with BENCH_SKIP_B16=1
     # (cache kept warm in-repo so the driver pays ~1 extra run, not a compile).
     if os.environ.get("BENCH_SKIP_B16") != "1" and BATCH != 16:
         try:
-            b16 = measure_sampling(16, min_measure_s=0.0, min_runs=1)
+            b16 = measure_sampling(16, min_measure_s=0.0, min_runs=1,
+                                   with_model_flops=False)
             record["b16_samples_per_min"] = round(b16["samples_per_min"], 3)
             record["b16_mfu"] = round(b16["mfu"], 4) if "mfu" in b16 else None
         except Exception as exc:  # e.g. b16 exceeds single-chip HBM
@@ -312,6 +375,8 @@ def main() -> None:
             record["train_micro_step_ms"] = round(train["train_micro_step_ms"], 1)
             if "train_mfu" in train:
                 record["train_mfu"] = round(train["train_mfu"], 4)
+            if "model_train_mfu" in train:
+                record["model_train_mfu"] = round(train["model_train_mfu"], 4)
         except Exception as exc:  # train measurement must not sink the bench
             record["train_error"] = f"{type(exc).__name__}: {exc}"[:200]
     print(json.dumps(record))
