@@ -190,6 +190,11 @@ def parse_arguments():
     p.add_argument("--train-devices", type=str, default="auto",
                    help="'cpu', 'auto' (all devices), or a count/comma list "
                         "like '0,1' (reference --train-devices parity)")
+    p.add_argument("--infer-device", type=str, default="auto",
+                   choices=["auto", "cpu"],
+                   help="'cpu' forces the CPU platform for --mode inference "
+                        "(reference --infer-device parity; JAX's platform is "
+                        "process-wide, so it is ignored for --mode both)")
     p.add_argument("--wandb", action="store_true", help="log metrics+images to wandb")
     p.add_argument("--pretrain-smoke", action=argparse.BooleanOptionalAction, default=True,
                    help="run the reference's pre-training data-inspection + "
@@ -223,7 +228,12 @@ def main():
     from flowtrain_stochastic_interpolation_tpu.parallel import maybe_initialize
 
     maybe_initialize()
-    if (args.train_devices or "").strip().lower() == "cpu":
+    force_cpu = (
+        (args.train_devices or "").strip().lower() == "cpu"
+        if args.mode in ("train", "both")
+        else args.infer_device == "cpu"
+    )
+    if force_cpu:
         # force the platform BEFORE the first jax.devices() call: once the
         # TPU backend initialises, 'cpu' can no longer exclude it, and on
         # the axon tunnel even backend init blocks on the remote grant
