@@ -40,6 +40,9 @@ def main():
     p.add_argument("--root-dir", type=str, default=os.path.dirname(os.path.abspath(__file__)))
     p.add_argument("--use-wandb", action="store_true")
     p.add_argument("--preset", choices=["flagship", "tiny"], default="flagship")
+    p.add_argument("--device", choices=["auto", "cpu"], default="auto",
+                   help="'cpu' forces the CPU backend before XLA init "
+                        "(CI / hosts without the TPU grant)")
     args = p.parse_args()
 
     # multi-host (pod) wiring — must run before anything touches the XLA
@@ -47,6 +50,10 @@ def main():
     from flowtrain_stochastic_interpolation_tpu.parallel import maybe_initialize
 
     maybe_initialize()
+    if args.device == "cpu":
+        # must land before the first jax.devices() call — once the TPU
+        # backend initialises, the platform can no longer be excluded
+        jax.config.update("jax_platforms", "cpu")
     config = conditional_64() if args.preset == "flagship" else tiny_test(conditional=True)
     dirs = setup_directories(args.root_dir, config.name)
     print(f"devices={jax.devices()}")

@@ -207,8 +207,15 @@ def main():
     p.add_argument("--save-dir", type=str,
                    default=os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                         "cond_experiments"))
+    p.add_argument("--device", choices=["auto", "cpu"], default="auto",
+                   help="'cpu' forces the CPU backend before XLA init "
+                        "(CI / hosts without the TPU grant)")
     args = p.parse_args()
 
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     config = conditional_64() if args.preset == "flagship" else tiny_test(conditional=True)
     os.makedirs(args.save_dir, exist_ok=True)
 

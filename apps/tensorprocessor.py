@@ -95,7 +95,14 @@ def main():
     p.add_argument("--out", default=None, help="output dir (default <folder>/rendered)")
     p.add_argument("--embedding", default=None, help="saved embedding table .npy")
     p.add_argument("--gif", action="store_true", help="also write rotating GIFs")
+    p.add_argument("--device", choices=["auto", "cpu"], default="auto",
+                   help="'cpu' forces the CPU backend before XLA init "
+                        "(decode uses jax; workstations may lack the TPU grant)")
     args = p.parse_args()
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     out = args.out or os.path.join(args.folder, "rendered")
     table = load_embedding(args.embedding)
     process_folder_of_tensors(args.folder, out, table, args.gif)

@@ -34,7 +34,11 @@ def main():
     p.add_argument("--batch-size", type=int, default=512)
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "figures", "toy2d_trajectories.png"))
+    p.add_argument("--device", choices=["auto", "cpu"], default="auto",
+                   help="'cpu' forces the CPU backend before XLA init")
     args = p.parse_args()
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     target = GaussianMixed()
     interp = LinearInterpolant(one_sided=True)
