@@ -213,8 +213,6 @@ def main():
     args = p.parse_args()
 
     if args.device == "cpu":
-        import jax
-
         jax.config.update("jax_platforms", "cpu")
     config = conditional_64() if args.preset == "flagship" else tiny_test(conditional=True)
     os.makedirs(args.save_dir, exist_ok=True)

@@ -131,6 +131,49 @@ def volume_view_figures(scenario_dir: str, out_dir: str, folder: str):
             observations=obs)
 
 
+def geoprocess_stages_figure(out_path: str, shape=(64, 64, 64), seed: int = 0,
+                             n_examples: int = 3):
+    """Transformation-chain icon figures (ref ``paper-figures/
+    geoprocess-examples-figs/transformation-examples.ipynb``: the GeoGen API's
+    strata → fold → dike → topography stage renders).
+
+    Our generator is the device-native synthetic chain
+    (``data/synthetic.py::synthetic_geology_stages``); each row is one random
+    volume, each column one transformation stage as a mid-Y cross-section
+    (depth on the vertical axis, air masked white — the notebook's icon
+    style).
+    """
+    import jax
+
+    from flowtrain_stochastic_interpolation_tpu.data.synthetic import (
+        synthetic_geology_stages,
+    )
+
+    plt = _mpl()
+    stages_fn = jax.jit(
+        lambda k: synthetic_geology_stages(k, shape), backend="cpu"
+    )
+    order = ["strata", "tilt", "fold", "dike", "topography"]
+    fig, axes = plt.subplots(n_examples, len(order),
+                             figsize=(2.2 * len(order), 2.2 * n_examples),
+                             squeeze=False)
+    for i in range(n_examples):
+        stages = stages_fn(jax.random.PRNGKey(seed + i))
+        for j, name in enumerate(order):
+            vol = np.asarray(stages[name])
+            sl = vol[:, vol.shape[1] // 2, :].T.astype(np.float32)  # [Z, X]
+            sl[sl < 0] = np.nan  # air → white
+            ax = axes[i, j]
+            ax.imshow(sl, origin="upper", cmap="tab20", interpolation="nearest")
+            ax.axis("off")
+            if i == 0:
+                ax.set_title(name, fontsize=10)
+    fig.suptitle("synthetic geology: transformation stages")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+
 def main():
     p = argparse.ArgumentParser(description="Generate paper figures")
     p.add_argument("--experiments-dir", default=os.path.join(
@@ -138,8 +181,17 @@ def main():
     p.add_argument("--samples-dir", default=None)
     p.add_argument("--out-dir", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "figures"))
+    p.add_argument("--geoprocess", action="store_true",
+                   help="render the synthetic generator's transformation-"
+                        "stage icon figure (ref transformation-examples.ipynb)")
+    p.add_argument("--geoprocess-shape", type=int, default=64)
     args = p.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.geoprocess:
+        out = os.path.join(args.out_dir, "geoprocess_stages.png")
+        geoprocess_stages_figure(out, shape=(args.geoprocess_shape,) * 3)
+        print(f"figures written: {out}")
 
     if os.path.isdir(args.experiments_dir):
         for folder in sorted(os.listdir(args.experiments_dir)):

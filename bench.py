@@ -8,26 +8,38 @@ jitted train step (loss + grad + clip + Adam + EMA) at effective batch 8
 (micro-batch 4 × 2-step gradient accumulation — this environment's
 remote-compile tunnel rejects the flagship backward at batch 8 directly).
 
-Robustness (VERDICT r1 weak #3): the sampling measurement is time-targeted —
-full sampling runs repeat until ≥60 s of measured work and ≥3 runs, and the
-reported value is the **median** per-run throughput with min/max spread
-attached, so round-over-round comparisons survive tunnel session variance
-(observed 9.7–12.9 samples/min across sessions in round 1).
+Timeout-robustness contract (VERDICT r3 #1 — the r3 driver run was killed
+before any output):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+- The **headline JSON line is printed and flushed immediately after the
+  sampling measurement** — exactly ONE compile (the fused sampler) happens
+  before it.  Everything else (cost-analysis compiles, the train section,
+  the opt-in b16 row) runs afterwards, each behind its own try/except, and
+  a final **extended** JSON line (a superset of the headline) is printed at
+  the end; the driver parses the last parseable line, so a timeout during
+  extras still leaves the headline.
+- Progress notes go to stderr with timestamps, so a killed run leaves a
+  diagnosable tail.
+- SIGTERM/SIGINT mid-measurement salvages a partial record: if at least one
+  full sampling run completed, its median is printed before exit.
+- A failed sampling attempt (e.g. stale-compile-cache FailedPrecondition)
+  clears the cache and retries the *sampling section* once — not the whole
+  script.
 
-``vs_baseline`` compares against the reference PyTorch implementation's
-measured throughput on this host (its ``--infer-device cpu`` recipe, the only
-hardware it can use in this image): 16.64 s per UNet3D forward at the same
-config ⇒ 0.0301 samples/min at NFE=120 (tools/measure_baseline.py,
-BASELINE.md config 1).
+Extras are opt-in/opt-out via env vars:
 
-Program structure: the fully fused ``lax.scan`` sampler (noise → 120-NFE RK4
-→ decode in ONE compiled program, no per-step dispatch) is the **default**;
-``BENCH_FUSED=0`` opts out to a host-looped jitted RK4 step, and the code
-falls back to that path automatically if the remote compiler rejects the
-large fused program.  The per-step dispatch overhead is ~1 ms against
-~100 ms+ step times, so the two paths measure equivalently.
+- ``BENCH_MODEL_MFU=1``   — also cost the direct-conv program (one extra
+  compile) for packed-layout-corrected model-FLOPs MFU (default OFF).
+- ``BENCH_B16=1``         — one batch-16 scaling run (default OFF).
+- ``BENCH_SKIP_TRAIN=1``  — skip the train-step section (default ON, it is
+  the second driver metric; it runs after the headline so it can only add).
+- ``BENCH_MIN_MEASURE_S`` / ``BENCH_MIN_RUNS`` — sampling time target
+  (default 60 s / 3 runs).
+
+Baseline: the reference PyTorch implementation measured on this host
+(``--infer-device cpu``, the only hardware it can use in this image):
+16.64 s per UNet3D forward at the same config ⇒ 0.0301 samples/min at
+NFE=120 (tools/measure_baseline.py, BASELINE.md config 1).
 """
 
 from __future__ import annotations
@@ -35,13 +47,17 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import signal
 import statistics
+import sys
 import time
 
 import jax
 
 # Persistent compilation cache: the 64³ UNet program is large and the axon
 # remote compile is slow — cache across processes so repeat runs start fast.
+# (Whether the axon PJRT plugin supports executable serialization is probed
+# by tools/probe_cache.py; harmless if unsupported.)
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -54,8 +70,8 @@ N_FRAMES = 16
 SUBSTEPS = 2
 NFE = (N_FRAMES - 1) * SUBSTEPS * 4  # = 120 RK4 stages
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
-MIN_MEASURE_S = 60.0
-MIN_RUNS = 3
+MIN_MEASURE_S = float(os.environ.get("BENCH_MIN_MEASURE_S", "60"))
+MIN_RUNS = int(os.environ.get("BENCH_MIN_RUNS", "3"))
 T0, TF = 0.001, 1.0
 
 # The ODE state integrates in bf16 by default (halves the carry HBM
@@ -71,11 +87,61 @@ TRAIN_MICRO_BATCH = 4
 TRAIN_ACCUM = 2
 TRAIN_EFFECTIVE_STEPS = 3
 
-
 # TPU v5e bf16 matmul peak per chip (the flagship computes in bf16).  MFU =
 # achieved model FLOP/s (XLA cost analysis of the compiled sampler, which
 # counts every op in the program) / this peak.
 PEAK_TFLOPS_BF16 = 197.0
+
+_START = time.time()
+
+
+def note(msg: str) -> None:
+    """Timestamped progress line on stderr — the diagnosable tail."""
+    print(f"[bench +{time.time() - _START:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+# ---- partial-result salvage on SIGTERM/SIGINT (driver timeout kill) -------
+_partial: dict = {"rates": [], "headline_printed": False}
+
+
+def _emit(record: dict) -> None:
+    print(json.dumps(record), flush=True)
+
+
+def _headline_record(samples_per_min: float, rates: list[float],
+                     measured_s: float, partial: bool = False) -> dict:
+    record = {
+        "metric": f"uncond_64cubed_samples_per_min_nfe{NFE}",
+        "value": round(samples_per_min, 3),
+        "unit": "samples/min",
+        "vs_baseline": round(samples_per_min / BASELINE_SAMPLES_PER_MIN, 2),
+        "spread": [round(min(rates), 3), round(max(rates), 3)],
+        "n_runs": len(rates),
+        "measured_s": round(measured_s, 1),
+        "ms_per_sample": round(60_000.0 / samples_per_min, 1),
+    }
+    if STATE_DTYPE_NAME != "float32":
+        record["state_dtype"] = STATE_DTYPE_NAME
+    if partial:
+        record["partial"] = True
+    return record
+
+
+def _salvage_handler(signum, frame):
+    note(f"received signal {signum}")
+    if not _partial["headline_printed"] and _partial["rates"]:
+        rates = _partial["rates"]
+        med = statistics.median(rates)
+        rec = _headline_record(med, rates, _partial.get("measured_s", 0.0),
+                               partial=True)
+        _emit(rec)
+        note(f"salvaged partial record from {len(rates)} run(s)")
+    raise SystemExit(143 if signum == signal.SIGTERM else 130)
+
+
+signal.signal(signal.SIGTERM, _salvage_handler)
+signal.signal(signal.SIGINT, _salvage_handler)
 
 
 def _program_flops(jitted, *args) -> float:
@@ -97,9 +163,7 @@ def _direct_conv_dispatch():
     The packed layout carries structurally-zero FLOPs that XLA's cost
     analysis counts (k=3: 2x, k=5: 1.2x — BASELINE.md packed-conv record),
     inflating program-FLOPs MFU over the true silicon efficiency.  Costing
-    the direct-conv formulation of the same model gives model FLOPs; the
-    direct program matches pre-packed rounds' and sits in the persistent
-    compile cache.
+    the direct-conv formulation of the same model gives model FLOPs.
     """
     from flowtrain_stochastic_interpolation_tpu.ops import packed_conv
 
@@ -111,162 +175,144 @@ def _direct_conv_dispatch():
         packed_conv.use_packed_conv = orig
 
 
-def measure_sampling(batch: int, min_measure_s: float = MIN_MEASURE_S,
-                     min_runs: int = MIN_RUNS,
-                     with_model_flops: bool = True) -> dict:
-    from flowtrain_stochastic_interpolation_tpu.config import unconditional_64
-    from flowtrain_stochastic_interpolation_tpu.ops.embedding import (
-        decode,
-        simplex_embedding,
-    )
-    from flowtrain_stochastic_interpolation_tpu.solvers import (
-        _STEPPERS,
-        solve_ode_final,
-    )
-    from flowtrain_stochastic_interpolation_tpu.train.loop import build_model
+class _Sampler:
+    """Built once; exposes run() plus the pieces the extras sections reuse."""
 
-    config = unconditional_64()
-    model = build_model(config)
-    shape = config.data.shape
-    e = config.data.embedding_dim
+    def __init__(self, batch: int):
+        from flowtrain_stochastic_interpolation_tpu.config import unconditional_64
+        from flowtrain_stochastic_interpolation_tpu.ops.embedding import (
+            decode,
+            simplex_embedding,
+        )
+        from flowtrain_stochastic_interpolation_tpu.solvers import (
+            _STEPPERS,
+            solve_ode_final,
+        )
+        from flowtrain_stochastic_interpolation_tpu.train.loop import build_model
 
-    key = jax.random.PRNGKey(100)
-    state_dtype = jnp.dtype(STATE_DTYPE_NAME)
-    x_init = jnp.zeros((batch, *shape, e), state_dtype)
-    t_init = jnp.zeros((batch,), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x_init, t_init)
-    table = jnp.asarray(simplex_embedding(config.data.num_categories, e))
+        config = unconditional_64()
+        model = build_model(config)
+        shape = config.data.shape
+        e = config.data.embedding_dim
 
-    def velocity(x, t):
-        return model.apply(variables, x, t)
+        self.batch = batch
+        self.key = jax.random.PRNGKey(100)
+        state_dtype = jnp.dtype(STATE_DTYPE_NAME)
+        self.x_init = jnp.zeros((batch, *shape, e), state_dtype)
+        note("initializing model parameters")
+        t_init = jnp.zeros((batch,), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), self.x_init, t_init)
+        table = jnp.asarray(simplex_embedding(config.data.num_categories, e))
 
-    flops_per_run = 0.0
-    model_flops_per_run = 0.0
-    if os.environ.get("BENCH_FUSED") != "0":
-        # single compiled program: noise -> 120-NFE RK4 (final-state-only
-        # scan) -> decode.  No per-step dispatch (~50 ms tunnel roundtrip
-        # each on axon); falls back to the host-looped path below if this
-        # environment's remote compiler rejects the large program.
-        @jax.jit
-        def sample(key):
-            x0 = jax.random.normal(key, (batch, *shape, e), state_dtype)
-            final = solve_ode_final(velocity, x0, t0=T0, tf=TF,
-                                    n_frames=N_FRAMES, substeps=SUBSTEPS,
-                                    method="rk4")
-            return decode(final, table)
+        def velocity(x, t):
+            return model.apply(variables, x, t)
 
-        def run(k):
-            decoded = sample(k)
-            int(decoded.sum())
-            return decoded
+        self.velocity = velocity
+        self.rk4_step = _STEPPERS["rk4"][0]
+        self.h = (TF - T0) / ((N_FRAMES - 1) * SUBSTEPS)
 
-        try:
-            run(key)  # compile probe
-            fused_ok = True
-            # FLOPs from a single-step program × step count: XLA cost
-            # analysis counts a lax.scan body ONCE regardless of trip count,
-            # so analysing the fused program under-reports ~30× (observed:
-            # mfu 0.0043 vs the ~0.13 the roofline accounts for).  The step
-            # program equals the fallback path's and is persistent-cached.
-            rk4_step = _STEPPERS["rk4"][0]
-            h_cost = (TF - T0) / ((N_FRAMES - 1) * SUBSTEPS)
-            step_for_cost = jax.jit(
-                lambda x, t: rk4_step(velocity, x, t, jnp.asarray(h_cost, jnp.float32))
-            )
-            flops_per_run = _program_flops(
-                step_for_cost, x_init, jnp.asarray(T0, jnp.float32)
-            ) * (N_FRAMES - 1) * SUBSTEPS
-            if with_model_flops:
-                with _direct_conv_dispatch():
-                    step_direct = jax.jit(
-                        lambda x, t: rk4_step(
-                            velocity, x, t, jnp.asarray(h_cost, jnp.float32)
-                        )
-                    )
-                    model_flops_per_run = _program_flops(
-                        step_direct, x_init, jnp.asarray(T0, jnp.float32)
-                    ) * (N_FRAMES - 1) * SUBSTEPS
-        except Exception as exc:
-            import sys
-
-            print(f"fused sampler unavailable ({type(exc).__name__}); "
-                  f"falling back to host-looped steps", file=sys.stderr)
-            fused_ok = False
-    else:
         fused_ok = False
+        if os.environ.get("BENCH_FUSED") != "0":
+            # single compiled program: noise -> 120-NFE RK4 (final-state-only
+            # scan) -> decode.  No per-step dispatch (~50 ms tunnel roundtrip
+            # each on axon); falls back to the host-looped path below if this
+            # environment's remote compiler rejects the large program.
+            @jax.jit
+            def sample(key):
+                x0 = jax.random.normal(key, (batch, *shape, e), state_dtype)
+                final = solve_ode_final(velocity, x0, t0=T0, tf=TF,
+                                        n_frames=N_FRAMES, substeps=SUBSTEPS,
+                                        method="rk4")
+                return decode(final, table)
 
-    if not fused_ok:
-        rk4 = _STEPPERS["rk4"][0]
-        h = (TF - T0) / ((N_FRAMES - 1) * SUBSTEPS)
+            def run_fused(k):
+                decoded = sample(k)
+                int(decoded.sum())  # scalar readback = true completion fence
+                return decoded
 
-        @jax.jit
-        def step(x, t):
-            return rk4(velocity, x, t, jnp.asarray(h, jnp.float32))
+            try:
+                note("compiling fused sampler (the one pre-headline compile; "
+                     "cold ~minutes on the remote tunnel, cached runs <60s)")
+                t0 = time.perf_counter()
+                run_fused(self.key)
+                note(f"fused sampler compiled+ran in "
+                     f"{time.perf_counter() - t0:.1f}s")
+                self.run = run_fused
+                fused_ok = True
+            except Exception as exc:
+                note(f"fused sampler unavailable ({type(exc).__name__}: "
+                     f"{exc!s:.120}); falling back to host-looped steps")
 
-        @jax.jit
-        def init_noise(key):
-            return jax.random.normal(key, (batch, *shape, e), state_dtype)
+        if not fused_ok:
+            rk4, h = self.rk4_step, self.h
 
-        decode_j = jax.jit(lambda x: decode(x, table))
+            @jax.jit
+            def step(x, t):
+                return rk4(velocity, x, t, jnp.asarray(h, jnp.float32))
 
-        def run(key):
-            x = init_noise(key)
-            for i in range((N_FRAMES - 1) * SUBSTEPS):
-                x = step(x, jnp.asarray(T0 + i * h, jnp.float32))
-            decoded = decode_j(x)
-            # scalar device->host read = true completion fence on the axon
-            # tunnel platform (block_until_ready can return early there)
-            int(decoded.sum())
-            return decoded
+            @jax.jit
+            def init_noise(key):
+                return jax.random.normal(key, (batch, *shape, e), state_dtype)
 
-        flops_per_run = _program_flops(
-            step, x_init, jnp.asarray(T0, jnp.float32)
-        ) * (N_FRAMES - 1) * SUBSTEPS
-        if with_model_flops:
-            with _direct_conv_dispatch():
-                step_direct = jax.jit(
-                    lambda x, t: rk4(velocity, x, t, jnp.asarray(h, jnp.float32))
-                )
-                model_flops_per_run = _program_flops(
-                    step_direct, x_init, jnp.asarray(T0, jnp.float32)
-                ) * (N_FRAMES - 1) * SUBSTEPS
+            decode_j = jax.jit(lambda x: decode(x, table))
 
-    if not fused_ok:
-        run(key)  # warmup / compile (the fused path already ran its probe)
+            def run_steps(k):
+                x = init_noise(k)
+                for i in range((N_FRAMES - 1) * SUBSTEPS):
+                    x = step(x, jnp.asarray(T0 + i * h, jnp.float32))
+                decoded = decode_j(x)
+                int(decoded.sum())
+                return decoded
 
+            note("compiling host-looped stepper")
+            run_steps(self.key)  # warmup / compile
+            note("host-looped stepper compiled")
+            self.run = run_steps
+
+    def step_flops(self, direct_conv: bool = False) -> float:
+        """FLOPs per full solve via the single-step program × step count.
+
+        XLA cost analysis counts a lax.scan body ONCE regardless of trip
+        count, so analysing the fused program under-reports ~30×; the step
+        program equals the fallback path's.  This costs ONE extra compile —
+        only called from the extras section, after the headline.
+        """
+        rk4, h, velocity = self.rk4_step, self.h, self.velocity
+        ctx = _direct_conv_dispatch() if direct_conv else contextlib.nullcontext()
+        with ctx:
+            step = jax.jit(
+                lambda x, t: rk4(velocity, x, t, jnp.asarray(h, jnp.float32))
+            )
+            per_step = _program_flops(step, self.x_init,
+                                      jnp.asarray(T0, jnp.float32))
+        return per_step * (N_FRAMES - 1) * SUBSTEPS
+
+
+def measure_sampling(sampler: _Sampler, min_measure_s: float = MIN_MEASURE_S,
+                     min_runs: int = MIN_RUNS, track_partial: bool = False) -> dict:
     # time-targeted: full runs until >= min_measure_s measured and >= min_runs
     rates = []
     total = 0.0
     i = 0
     while total < min_measure_s or len(rates) < min_runs:
         t0 = time.perf_counter()
-        run(jax.random.fold_in(key, i))
+        sampler.run(jax.random.fold_in(sampler.key, i))
         dt = time.perf_counter() - t0
-        rates.append(batch / dt * 60.0)
+        rates.append(sampler.batch / dt * 60.0)
         total += dt
         i += 1
+        note(f"sampling run {i}: {rates[-1]:.2f} samples/min "
+             f"({total:.1f}/{min_measure_s:.0f}s measured)")
+        if track_partial:
+            _partial["rates"] = list(rates)
+            _partial["measured_s"] = total
 
     med = statistics.median(rates)
-    out = {
+    return {
         "samples_per_min": med,
-        "spread": [min(rates), max(rates)],
-        "n_runs": len(rates),
+        "rates": rates,
         "measured_s": total,
-        "ms_per_sample": 60_000.0 / med,
     }
-    if flops_per_run > 0:
-        # med samples/min => med/60/batch runs/sec => FLOP/s
-        achieved = flops_per_run * (med / 60.0 / batch)
-        out["mfu"] = achieved / (PEAK_TFLOPS_BF16 * 1e12)
-        out["program_tflops_per_run"] = flops_per_run / 1e12
-    if model_flops_per_run > 0:
-        # model FLOPs exclude the packed layout's structural zeros — the
-        # round-over-round comparable figure (BASELINE.md MFU bookkeeping)
-        out["model_mfu"] = (
-            model_flops_per_run * (med / 60.0 / batch)
-        ) / (PEAK_TFLOPS_BF16 * 1e12)
-        out["model_tflops_per_run"] = model_flops_per_run / 1e12
-    return out
 
 
 def measure_train() -> dict:
@@ -295,16 +341,22 @@ def measure_train() -> dict:
     )
     key = jax.random.PRNGKey(1)
 
+    note("compiling train step")
     state, metrics = train_step(state, batch, key)  # compile
     float(metrics["train_loss"])
+    note("train step compiled")
 
     # micro-step program FLOPs (fwd+bwd+update; no lax.scan over the model
-    # inside one micro-step, so XLA's cost analysis counts it fully)
+    # inside one micro-step, so XLA's cost analysis counts it fully).  The
+    # jitted fn was just executed, so .lower().compile() hits the in-process
+    # jit cache — no extra device compile for the packed program.
     train_flops = _program_flops(train_step, state, batch, key)
-    with _direct_conv_dispatch():
-        model_train_flops = _program_flops(
-            make_train_step(model, tx, config), state, batch, key
-        )
+    model_train_flops = 0.0
+    if os.environ.get("BENCH_MODEL_MFU") == "1":
+        with _direct_conv_dispatch():
+            model_train_flops = _program_flops(
+                make_train_step(model, tx, config), state, batch, key
+            )
 
     n_micro = TRAIN_EFFECTIVE_STEPS * TRAIN_ACCUM
     t0 = time.perf_counter()
@@ -329,43 +381,73 @@ def measure_train() -> dict:
 
 
 def main() -> None:
-    sampling = measure_sampling(BATCH)
-    record = {
-        "metric": f"uncond_64cubed_samples_per_min_nfe{NFE}",
-        "value": round(sampling["samples_per_min"], 3),
-        "unit": "samples/min",
-        "vs_baseline": round(
-            sampling["samples_per_min"] / BASELINE_SAMPLES_PER_MIN, 2
-        ),
-        "spread": [round(v, 3) for v in sampling["spread"]],
-        "n_runs": sampling["n_runs"],
-        "measured_s": round(sampling["measured_s"], 1),
-        "ms_per_sample": round(sampling["ms_per_sample"], 1),
-    }
-    if STATE_DTYPE_NAME != "float32":
-        record["state_dtype"] = STATE_DTYPE_NAME
-    if "mfu" in sampling:
-        record["mfu"] = round(sampling["mfu"], 4)
-        record["peak_tflops_bf16"] = PEAK_TFLOPS_BF16
-        record["program_tflops_per_run"] = round(
-            sampling["program_tflops_per_run"], 2
-        )
-    if "model_mfu" in sampling:
-        record["model_mfu"] = round(sampling["model_mfu"], 4)
-        record["model_tflops_per_run"] = round(
-            sampling["model_tflops_per_run"], 2
-        )
-    # batch-scaling row (VERDICT r2 weak #4): one b16 measurement — does
-    # samples/min rise with batch on one chip?  Opt out with BENCH_SKIP_B16=1
-    # (cache kept warm in-repo so the driver pays ~1 extra run, not a compile).
-    if os.environ.get("BENCH_SKIP_B16") != "1" and BATCH != 16:
+    note(f"backend={jax.default_backend()} devices={jax.device_count()} "
+         f"batch={BATCH} nfe={NFE} state={STATE_DTYPE_NAME}")
+
+    # ---- sampling section (the headline) — retry once on a stale cache ----
+    try:
+        sampler = _Sampler(BATCH)
+        sampling = measure_sampling(sampler, track_partial=True)
+    except Exception as exc:
+        note(f"sampling attempt failed ({type(exc).__name__}: {exc!s:.200}); "
+             f"clearing compile cache and retrying the sampling section once")
+        import shutil
+
+        shutil.rmtree(_CACHE_DIR, ignore_errors=True)
+        sampler = _Sampler(BATCH)
+        sampling = measure_sampling(sampler, track_partial=True)
+
+    record = _headline_record(sampling["samples_per_min"], sampling["rates"],
+                              sampling["measured_s"])
+    _emit(record)  # HEADLINE — everything after this can only add
+    _partial["headline_printed"] = True
+    note("headline printed; running extras (each optional)")
+
+    # ---- extras: each section guarded, extended record printed at the end --
+    try:
+        flops_per_run = sampler.step_flops()
+        if flops_per_run > 0:
+            med = sampling["samples_per_min"]
+            record["mfu"] = round(
+                flops_per_run * (med / 60.0 / BATCH) / (PEAK_TFLOPS_BF16 * 1e12), 4
+            )
+            record["peak_tflops_bf16"] = PEAK_TFLOPS_BF16
+            record["program_tflops_per_run"] = round(flops_per_run / 1e12, 2)
+        note(f"program-FLOPs cost analysis done (mfu={record.get('mfu')})")
+    except Exception as exc:
+        record["mfu_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        note(f"mfu section failed: {record['mfu_error']}")
+
+    if os.environ.get("BENCH_MODEL_MFU") == "1":
+        # one extra compile: the direct-conv program (structural-zero-free
+        # model FLOPs — the round-over-round comparable figure)
         try:
-            b16 = measure_sampling(16, min_measure_s=0.0, min_runs=1,
-                                   with_model_flops=False)
+            model_flops = sampler.step_flops(direct_conv=True)
+            if model_flops > 0:
+                med = sampling["samples_per_min"]
+                record["model_mfu"] = round(
+                    model_flops * (med / 60.0 / BATCH) / (PEAK_TFLOPS_BF16 * 1e12),
+                    4,
+                )
+                record["model_tflops_per_run"] = round(model_flops / 1e12, 2)
+            note(f"model-FLOPs cost analysis done "
+                 f"(model_mfu={record.get('model_mfu')})")
+        except Exception as exc:
+            record["model_mfu_error"] = f"{type(exc).__name__}: {exc}"[:200]
+            note(f"model-mfu section failed: {record['model_mfu_error']}")
+
+    if os.environ.get("BENCH_B16") == "1" and BATCH != 16:
+        # batch-scaling row (opt-in: costs a compile + a run, and r3 measured
+        # it noisy — BASELINE.md b16 spread 12.9–16.33)
+        try:
+            note("b16 scaling row (opt-in)")
+            s16 = _Sampler(16)
+            b16 = measure_sampling(s16, min_measure_s=0.0, min_runs=1)
             record["b16_samples_per_min"] = round(b16["samples_per_min"], 3)
-            record["b16_mfu"] = round(b16["mfu"], 4) if "mfu" in b16 else None
         except Exception as exc:  # e.g. b16 exceeds single-chip HBM
             record["b16_error"] = f"{type(exc).__name__}: {exc}"[:200]
+            note(f"b16 section failed: {record['b16_error']}")
+
     if os.environ.get("BENCH_SKIP_TRAIN") != "1":
         try:
             train = measure_train()
@@ -377,21 +459,15 @@ def main() -> None:
                 record["train_mfu"] = round(train["train_mfu"], 4)
             if "model_train_mfu" in train:
                 record["model_train_mfu"] = round(train["model_train_mfu"], 4)
+            note(f"train section done "
+                 f"({record['train_micro_step_ms']} ms/micro-step)")
         except Exception as exc:  # train measurement must not sink the bench
             record["train_error"] = f"{type(exc).__name__}: {exc}"[:200]
-    print(json.dumps(record))
+            note(f"train section failed: {record['train_error']}")
+
+    _emit(record)  # EXTENDED — superset of the headline; last parseable line
+    note("done")
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception as exc:  # a stale compile cache can FailedPrecondition
-        import shutil
-        import sys
-
-        print(f"bench attempt failed ({type(exc).__name__}); clearing compile "
-              f"cache and retrying once", file=sys.stderr)
-        shutil.rmtree(_CACHE_DIR, ignore_errors=True)
-        main()
-    finally:
-        pass
+    main()

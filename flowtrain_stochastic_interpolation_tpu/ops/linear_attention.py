@@ -405,8 +405,13 @@ def _folded_vjp_bwd(heads, block_n, bwd_mode, res, dout):
             q, k, v, mem_k, mem_v,
         )
         return vjp(dout)
-    if bwd_mode == "chunked" or res[0].shape[1] >= _CHUNKED_BWD_MIN_ROWS:
+    if bwd_mode == "chunked" or (
+        bwd_mode != "closed_form_bf16"
+        and res[0].shape[1] >= _CHUNKED_BWD_MIN_ROWS
+    ):
         return _folded_vjp_bwd_closed_form_chunked(heads, block_n, res, dout)
+    if bwd_mode == "closed_form_bf16":
+        return _folded_vjp_bwd_closed_form_bf16(heads, block_n, res, dout)
     return _folded_vjp_bwd_closed_form(heads, block_n, res, dout)
 
 
@@ -461,6 +466,87 @@ def _folded_vjp_bwd_closed_form(heads, block_n, res, dout):
     # column-softmax VJP: shared inner product over ALL tokens per column
     inner = (jnp.sum(d_pk * p_k, axis=1) + jnp.sum(d_pm * p_m, axis=1))  # [b, hd]
     dk = p_k * (d_pk - inner[:, None, :])
+    dmk = jnp.sum(p_m * (d_pm - inner[:, None, :]), axis=0)
+
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dmk.astype(mem_k.dtype), dmv.astype(mem_v.dtype))
+
+
+def _folded_vjp_bwd_closed_form_bf16(heads, block_n, res, dout):
+    """Closed-form backward with the [N, h·d] streams kept in the input dtype.
+
+    VERDICT r3 #3(a): the f32 closed form's ``f32[4, 262144, 128]``
+    intermediates cost ~25–30 ms of the b4 train micro-step (4× 3.3 ms
+    elementwise fusions + ~6.5 ms of f32 layout copies — r3 xplane audit,
+    docs/roofline.md).  Same math as :func:`_folded_vjp_bwd_closed_form`
+    with a dtype discipline instead of a blanket f32 upcast:
+
+    - softmax *stabilizers* (row/column max, normalizers Z, the column
+      inner product) and every [b, h·d]/[b, h·d, h·d] reduction accumulate
+      in f32 (``preferred_element_type`` on the MXU einsums / ``dtype=`` on
+      the reduces);
+    - the exponentials are *computed* in f32 inside the fused elementwise
+      pass, then rounded to the stream dtype (bf16 in production) before
+      any [N, h·d]-shaped materialization — halving the HBM traffic and
+      copy width of every big intermediate;
+    - ``1/Z`` column scales are folded into the small [b, h·d, h·d]
+      context/cotangent tensors, so the k column-softmax probabilities are
+      never materialized at all.
+
+    Gradient error vs the f32 closed form is O(bf16 ulp) ≈ 0.4% relative —
+    the same rounding the bf16 forward already accepts
+    (tests/test_linear_attention.py pins it at 2e-2).
+    """
+    q, k, v, mem_k, mem_v = res
+    f32 = jnp.float32
+    cdt = q.dtype  # stream dtype (bf16 in production; f32 in f32 tests)
+    b, n, hd = q.shape
+    d = hd // heads
+    scale = d**-0.5
+    pf32 = dict(preferred_element_type=f32)
+
+    # ---- q group-softmax: exp in f32 inside the fusion, stream in cdt ----
+    q4 = q.reshape(b, n, heads, d)
+    m_q = jnp.max(q4, axis=-1, keepdims=True)
+    e4 = jnp.exp((q4 - m_q).astype(f32))
+    s_q = (e4 / jnp.sum(e4, axis=-1, keepdims=True)).astype(cdt) \
+        .reshape(b, n, hd)
+
+    # ---- k column softmax pieces (normalizers f32, stream cdt) ----
+    mkf = mem_k.astype(f32)
+    M = jnp.maximum(jnp.max(k, axis=1).astype(f32), jnp.max(mkf, axis=0)[None])
+    ekb = jnp.exp(k.astype(f32) - M[:, None, :]).astype(cdt)   # [b, n, hd]
+    em = jnp.exp(mkf[None] - M[:, None, :])                    # [b, n_mem, hd] f32
+    Z = jnp.sum(ekb, axis=1, dtype=f32) + jnp.sum(em, axis=1)  # [b, hd] f32
+    p_m = em / Z[:, None, :]
+
+    gi = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // d
+    gj = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // d
+    G = (gi == gj).astype(f32)  # block-diagonal ones (head groups)
+
+    # ---- context & its cotangent: 1/Z folded into the small tensors ----
+    ctx = (jnp.einsum("bnd,bne->bde", ekb, v, **pf32) / Z[:, :, None]
+           + jnp.einsum("bnd,ne->bde", p_m, mem_v.astype(f32))) * G[None]
+    d_ctx = scale * jnp.einsum("bnd,bne->bde", s_q, dout, **pf32) * G[None]
+    d_ctx_over_z = d_ctx / Z[:, :, None]                      # [b, hd, hd] f32
+
+    # ---- backward, bf16 streams / f32 accumulators ----
+    d_s = scale * jnp.einsum("bne,bde->bnd", dout, ctx.astype(cdt))
+    ss4 = (d_s * s_q).reshape(b, n, heads, d)
+    corr = jnp.sum(ss4.astype(f32), axis=-1, keepdims=True).astype(cdt)
+    dq = s_q * (d_s - jnp.broadcast_to(corr, ss4.shape).reshape(b, n, hd))
+
+    dv = jnp.einsum("bnd,bde->bne", ekb, d_ctx_over_z.astype(cdt))
+    dmv = jnp.einsum("bnd,bde->ne", p_m, d_ctx)
+
+    d_pk = jnp.einsum("bne,bde->bnd", v, d_ctx_over_z.astype(cdt))  # = v·d_ctx/Z… see below
+    d_pm = jnp.einsum("ne,bde->bnd", mem_v.astype(f32), d_ctx)
+    # column-softmax VJP.  With p_k = ekb/Z and d_pk_true = v·d_ctx:
+    # inner = Σ_n d_pk_true·p_k + Σ_m d_pm·p_m = Σ_n ekb·(v·d_ctx/Z) + mem
+    inner = (jnp.sum((ekb * d_pk).astype(f32), axis=1)
+             + jnp.sum(d_pm * p_m, axis=1))                   # [b, hd] f32
+    # dk = p_k·(d_pk_true − inner) = ekb·(d_pk − inner/Z)
+    dk = ekb * (d_pk - (inner / Z)[:, None, :].astype(cdt))
     dmk = jnp.sum(p_m * (d_pm - inner[:, None, :]), axis=0)
 
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
@@ -618,8 +704,10 @@ def linear_attention_folded(q: Array, k: Array, v: Array,
     Semantics match ``unet_attn_3d.py:284-341``.
 
     ``backward``: "closed_form" (default; measured 2.7× faster than
-    autodiff; auto-chunks at ≥2^20 rows), "chunked" (force the row-blocked
-    closed form — chunk-bounded memory, the 128³-training form), or
+    autodiff; auto-chunks at ≥2^20 rows), "closed_form_bf16" (the
+    stream-dtype closed form — halves the backward's [N, h·d] HBM traffic,
+    VERDICT r3 #3a), "chunked" (force the row-blocked closed form —
+    chunk-bounded memory, the 128³-training form), or
     "autodiff"; None defers to the ``FLOWTRAIN_AUTODIFF_ATTN_VJP`` env var
     *as read at import time* (trace-time static — flipping the env after
     first compile has no effect; pass the argument or set
@@ -628,7 +716,8 @@ def linear_attention_folded(q: Array, k: Array, v: Array,
     b, n, hd = q.shape
     if hd % 128 != 0:
         raise ValueError(f"folded head dim {hd} must be a multiple of 128")
-    if backward not in (None, "closed_form", "chunked", "autodiff"):
+    if backward not in (None, "closed_form", "closed_form_bf16", "chunked",
+                        "autodiff"):
         raise ValueError(f"unknown backward {backward!r}")
     if backward is None:
         backward = "autodiff" if _AUTODIFF_VJP_ENV_DEFAULT else "closed_form"

@@ -44,8 +44,11 @@ _ORDER = 5.0
 
 
 def _error_norm(err: Array, y0: Array, y1: Array, atol: float, rtol: float) -> Array:
-    scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
-    r = (err / scale).astype(jnp.float32)
+    # promoted to f32 BEFORE the divide: with a bf16 state the ratio would
+    # otherwise be formed at ~2^-8 relative precision, i.e. far coarser than
+    # the 1e-6 tolerances it controls
+    scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1)).astype(jnp.float32)
+    r = err.astype(jnp.float32) / scale
     return jnp.sqrt(jnp.mean(r * r))
 
 
@@ -74,27 +77,36 @@ def dopri5_integrate(
       reaching its end time (truncated integration), ``nfe`` is returned
       **negated** — callers must treat ``nfe < 0`` as a failed solve.
     """
-    ts = jnp.asarray(ts, dtype=y0.dtype)
+    # Time/controller arithmetic stays in >= float32 regardless of the state
+    # dtype — step-size control at bf16 precision (~2^-8 ulp) would make the
+    # accept/advance loop drift and the `t < t_end` test meaningless.  Only
+    # the state updates are cast to the (possibly bf16) state dtype, matching
+    # the fixed-NFE steppers' discipline (solvers/__init__.py `hx`).
+    time_dtype = jnp.promote_types(jnp.result_type(ts), jnp.float32)
+    ts = jnp.asarray(ts, dtype=time_dtype)
     t0 = ts[0]
 
     k1_init = f(y0, t0)
-    dt_init = jnp.asarray((ts[-1] - ts[0]) / jnp.maximum(ts.shape[0] * 4, 32), y0.dtype)
+    dt_init = jnp.asarray(
+        (ts[-1] - ts[0]) / jnp.maximum(ts.shape[0] * 4, 32), time_dtype
+    )
 
     def rk_step(y, t, dt, k1):
+        dt_y = dt.astype(y.dtype)  # state arithmetic in the state dtype
         ks = [k1]
         for i in range(1, 7):
             yi = y
             for aij, kj in zip(_A[i], ks):
-                yi = yi + dt * aij * kj
+                yi = yi + dt_y * aij * kj
             ks.append(f(yi, t + _C[i] * dt))
         y_new = y
         for b, k in zip(_B5, ks[:-1]):  # b7 == 0 in B5 row of length 6
-            y_new = y_new + dt * b * k
+            y_new = y_new + dt_y * b * k
         # NB: _B5 has 6 entries (a7 row); stage 7 is f(y_new) and feeds only
         # the error estimate + FSAL reuse.
         err = jnp.zeros_like(y)
         for e, k in zip(_E, ks):
-            err = err + dt * e * k
+            err = err + dt_y * e * k
         return y_new, ks[-1], err
 
     def segment(carry, t_end):
@@ -114,7 +126,7 @@ def dopri5_integrate(
                 _SAFETY * jnp.power(jnp.maximum(norm, 1e-10), -1.0 / _ORDER),
                 _MIN_FACTOR,
                 _MAX_FACTOR,
-            ).astype(y.dtype)
+            ).astype(dt.dtype)
             dt_next = dt_c * factor
             y = jnp.where(accept, y_new, y)
             t = jnp.where(accept, t + dt_c, t)

@@ -22,6 +22,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess e2e app drives (~6 min total); fast tier = -m "not slow"
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 APPS = os.path.join(REPO, "apps")
 
@@ -88,12 +90,20 @@ def test_inference_experiments_full_chain(tmp_path):
         "--n-scenarios", "1", "--n-samples", "2", "--batch-size", "2",
         "--save-dir", str(tmp_path),
     ])
-    names = set()
-    for _, _, files in os.walk(tmp_path):
-        names.update(files)
-    assert any(n.endswith(".npy") or n.endswith(".npz") for n in names), (
-        f"no array artifacts written: {sorted(names)}"
-    )
+    # stage-specific artifacts (ADVICE r3: create-data alone writes
+    # true_model/boreholes — assert populate and analyze actually produced):
+    scen = os.path.join(tmp_path, "scenario_0")
+    for stage, name in [
+        ("create-data", "true_model.npy"), ("create-data", "boreholes.npy"),
+        ("populate", "sol_0.npy"), ("populate", "sol_1.npy"),
+        ("analyze", "probability_tensor.npy"), ("analyze", "entropy.npy"),
+        ("analyze", "most_probable.npy"),
+    ]:
+        path = os.path.join(scen, name)
+        assert os.path.exists(path), (
+            f"{stage} stage artifact missing: {name} "
+            f"(have: {sorted(os.listdir(scen)) if os.path.isdir(scen) else 'no scenario dir'})"
+        )
 
 
 def test_toy2d_app(tmp_path):

@@ -13,6 +13,9 @@ process boundary — the closest a single box gets to a pod.  The pod runbook
 lives in README.md "Multi-host (pods / DCN)".
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # real 2-process Gloo integration (~1 min); fast tier = -m "not slow"
 import os
 import socket
 import subprocess

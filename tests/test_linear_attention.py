@@ -253,3 +253,41 @@ def test_chunked_closed_form_vjp_matches_oneshot():
     for a, b_ in zip(g_ad, g_chk):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_closed_form_vjp_matches():
+    """Stream-dtype (bf16) closed-form backward == the f32 closed form.
+
+    VERDICT r3 #3(a): the bf16 mode keeps the [N, h·d] streams in the input
+    dtype (f32 stabilizers only), so with f32 inputs it must agree to
+    reassociation tolerance, and with bf16 inputs to bf16 rounding (~0.5%
+    relative — the same rounding the bf16 forward already accepts)."""
+    from flowtrain_stochastic_interpolation_tpu.ops.linear_attention import (
+        _folded_vjp_bwd_closed_form,
+        _folded_vjp_bwd_closed_form_bf16,
+    )
+
+    heads, d = 4, 32
+    keys = jax.random.split(jax.random.PRNGKey(11), 6)
+    n = 256
+    q, k, v = (jax.random.normal(keys[i], (2, n, heads * d)) for i in range(3))
+    mk, mv = (jax.random.normal(keys[3 + i], (4, heads * d)) for i in range(2))
+    dout = jax.random.normal(keys[5], (2, n, heads * d))
+
+    # f32 inputs: identical math, reassociation-level agreement
+    g_ref = _folded_vjp_bwd_closed_form(heads, 128, (q, k, v, mk, mv), dout)
+    g_b16 = _folded_vjp_bwd_closed_form_bf16(heads, 128, (q, k, v, mk, mv), dout)
+    for a, b_ in zip(g_b16, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)
+
+    # bf16 inputs: bf16-rounding-level agreement against the f32 form
+    cast = lambda t: t.astype(jnp.bfloat16)
+    res16 = tuple(cast(t) for t in (q, k, v, mk, mv))
+    g_ref16 = _folded_vjp_bwd_closed_form(heads, 128, res16, cast(dout))
+    g_b16b = _folded_vjp_bwd_closed_form_bf16(heads, 128, res16, cast(dout))
+    for a, b_ in zip(g_b16b, g_ref16):
+        a = np.asarray(a, np.float32)
+        b_ = np.asarray(b_, np.float32)
+        scale_ = np.abs(b_).max() + 1e-8
+        assert np.abs(a - b_).max() / scale_ < 2e-2

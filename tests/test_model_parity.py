@@ -13,6 +13,8 @@ import importlib.util
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # torch forward/grad parity via weight conversion (~2 min); fast tier = -m "not slow"
+
 torch = pytest.importorskip("torch")
 
 

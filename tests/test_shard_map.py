@@ -5,6 +5,9 @@ sharded over a ``spatial`` mesh axis, explicit halo/ring/collective
 primitives in the forward AND backward) — gradients must equal the plain
 single-device objective's gradients exactly (VERDICT r2 missing #1)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # 8-device shard_map train-step equivalence (~2 min); fast tier = -m "not slow"
 import dataclasses
 
 import jax

@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # 8-device mesh fwd+bwd equivalence sweeps (~5 min); fast tier = -m "not slow"
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -35,6 +35,12 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--conditional", action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--attn-vjp", default=None,
+                   help="folded-attention backward mode A/B: closed_form | "
+                        "closed_form_bf16 | chunked | autodiff")
+    p.add_argument("--micro-batch", type=int, default=None,
+                   help="micro-batch with accumulation to effective "
+                        "--batch-size (matches bench.py's b4×2 recipe)")
     args = p.parse_args()
 
     from flowtrain_stochastic_interpolation_tpu.config import (
@@ -48,18 +54,24 @@ def main() -> None:
     from flowtrain_stochastic_interpolation_tpu.train.steps import make_train_step
 
     config = conditional_64() if args.conditional else unconditional_64()
+    accum = 1
+    batch_size = args.batch_size
+    if args.micro_batch:
+        accum = max(1, args.batch_size // args.micro_batch)
+        batch_size = args.micro_batch
     config = dataclasses.replace(
         config,
-        data=dataclasses.replace(config.data, batch_size=args.batch_size),
+        data=dataclasses.replace(config.data, batch_size=batch_size),
+        model=dataclasses.replace(config.model, attn_folded_vjp=args.attn_vjp),
         training=dataclasses.replace(
-            config.training, accumulate_grad_batches=1, remat=args.remat
+            config.training, accumulate_grad_batches=accum, remat=args.remat
         ),
     )
 
     model, tx, state = init_train_state(config)
     train_step = make_train_step(model, tx, config)
     batch = synthetic_geology_batch(
-        jax.random.PRNGKey(0), args.batch_size, config.data.shape
+        jax.random.PRNGKey(0), config.data.batch_size, config.data.shape
     )
     key = jax.random.PRNGKey(1)
 
@@ -77,7 +89,7 @@ def main() -> None:
         loss_val = float(metrics["train_loss"])
     dt = (time.perf_counter() - t0) / args.steps
 
-    print(json.dumps({
+    rec = {
         "metric": ("cond" if args.conditional else "uncond")
                   + f"_64cubed_train_steps_per_sec_b{args.batch_size}",
         "value": round(1.0 / dt, 4),
@@ -85,7 +97,14 @@ def main() -> None:
         "step_ms": round(dt * 1000, 1),
         "compile_s": round(compile_s, 1),
         "loss": round(loss_val, 4),
-    }))
+    }
+    if args.micro_batch:
+        rec["micro_batch"] = config.data.batch_size
+        rec["accum"] = accum
+        rec["note"] = "step_ms is per MICRO step"
+    if args.attn_vjp:
+        rec["attn_vjp"] = args.attn_vjp
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
