@@ -41,7 +41,7 @@ class ModelConfig:
     cond_variant: str = "v3"
     dtype: str = "bfloat16"  # compute dtype on TPU; params stay f32
     # folded-linear-attention backward:
-    # "closed_form" | "chunked" | "autodiff" | None
+    # "closed_form" | "closed_form_bf16" | "chunked" | "autodiff" | None
     # (None = closed form unless FLOWTRAIN_AUTODIFF_ATTN_VJP was set at
     # import — a trace-time constant, see ops/linear_attention.py)
     attn_folded_vjp: str | None = None

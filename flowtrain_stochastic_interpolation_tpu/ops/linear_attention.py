@@ -405,10 +405,12 @@ def _folded_vjp_bwd(heads, block_n, bwd_mode, res, dout):
             q, k, v, mem_k, mem_v,
         )
         return vjp(dout)
-    if bwd_mode == "chunked" or (
-        bwd_mode != "closed_form_bf16"
-        and res[0].shape[1] >= _CHUNKED_BWD_MIN_ROWS
-    ):
+    if bwd_mode == "chunked" or res[0].shape[1] >= _CHUNKED_BWD_MIN_ROWS:
+        # Both one-shot closed forms (f32 AND bf16) delegate above the row
+        # threshold: the bf16 form halves each [N, h·d] intermediate but
+        # several are live at once, and the 2^20-row bound was set by a
+        # measured 128³ train-step OOM — the chunked form is the only one
+        # with chunk-bounded peak memory (ADVICE r4 #1).
         return _folded_vjp_bwd_closed_form_chunked(heads, block_n, res, dout)
     if bwd_mode == "closed_form_bf16":
         return _folded_vjp_bwd_closed_form_bf16(heads, block_n, res, dout)
@@ -545,8 +547,11 @@ def _folded_vjp_bwd_closed_form_bf16(heads, block_n, res, dout):
     # inner = Σ_n d_pk_true·p_k + Σ_m d_pm·p_m = Σ_n ekb·(v·d_ctx/Z) + mem
     inner = (jnp.sum((ekb * d_pk).astype(f32), axis=1)
              + jnp.sum(d_pm * p_m, axis=1))                   # [b, hd] f32
-    # dk = p_k·(d_pk_true − inner) = ekb·(d_pk − inner/Z)
-    dk = ekb * (d_pk - (inner / Z)[:, None, :].astype(cdt))
+    # dk = p_k·(d_pk_true − inner) = ekb·(d_pk − inner/Z).  The subtraction
+    # cancels where d_pk ≈ inner/Z, so it runs in f32 inside the elementwise
+    # fusion (registers only — the operands stream in as bf16 and the result
+    # stores in the output dtype; ADVICE r4 #2).
+    dk = ekb.astype(f32) * (d_pk.astype(f32) - (inner / Z)[:, None, :])
     dmk = jnp.sum(p_m * (d_pm - inner[:, None, :]), axis=0)
 
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
@@ -704,9 +709,10 @@ def linear_attention_folded(q: Array, k: Array, v: Array,
     Semantics match ``unet_attn_3d.py:284-341``.
 
     ``backward``: "closed_form" (default; measured 2.7× faster than
-    autodiff; auto-chunks at ≥2^20 rows), "closed_form_bf16" (the
-    stream-dtype closed form — halves the backward's [N, h·d] HBM traffic,
-    VERDICT r3 #3a), "chunked" (force the row-blocked closed form —
+    autodiff), "closed_form_bf16" (the stream-dtype closed form — halves
+    the backward's [N, h·d] HBM traffic, VERDICT r3 #3a) — both one-shot
+    forms auto-chunk at ≥2^20 rows, "chunked" (force the row-blocked
+    closed form —
     chunk-bounded memory, the 128³-training form), or
     "autodiff"; None defers to the ``FLOWTRAIN_AUTODIFF_ATTN_VJP`` env var
     *as read at import time* (trace-time static — flipping the env after

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import sys
 import time
 
@@ -104,12 +105,11 @@ def main() -> None:
     if args.classes:
         classes = []
         for tok in args.classes.split(","):
-            p = {}
-            for key, name in (("b", "b"), ("s", "s"), ("c", "ci"), ("o", "co")):
-                pass
-            import re
-
-            m = re.match(r"b(\d+)s(\d+)c(\d+)o(\d+)", tok)
+            m = re.match(r"b(\d+)s(\d+)c(\d+)o(\d+)$", tok)
+            if m is None:
+                raise SystemExit(
+                    f"bad class token {tok!r} (expected b<B>s<S>c<Cin>o<Cout>)"
+                )
             classes.append(dict(b=int(m.group(1)), s=int(m.group(2)),
                                 ci=int(m.group(3)), co=int(m.group(4))))
 

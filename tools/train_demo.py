@@ -78,7 +78,8 @@ def main():
                         "(TrainingConfig.objective_dtype); bfloat16 halves "
                         "every [B,X,Y,Z,E] buffer")
     p.add_argument("--attn-vjp", default=None,
-                   choices=["closed_form", "chunked", "autodiff"],
+                   choices=["closed_form", "closed_form_bf16", "chunked",
+                            "autodiff"],
                    help="folded-linear-attention backward (ModelConfig."
                         "attn_folded_vjp). closed_form auto-chunks at >=2^20 "
                         "rows; 'chunked' forces the row-blocked form "
