@@ -113,7 +113,7 @@ def load_model_with_ema_option(config, checkpoint_path, use_ema: bool,
         print(f"loaded release weights step {meta.get('step')}")
         return model, variables, table
 
-    _, _, state = init_train_state(config)
+    _, _, state = init_train_state(config, host_init=True)
     table = state.constants["embedding"]
     if checkpoint_path:
         mgr = CheckpointManager(checkpoint_path, None)

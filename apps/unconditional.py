@@ -86,7 +86,7 @@ def load_variables(config, checkpoint_path: str | None, dirs: dict, use_ema: boo
 
     mgr = CheckpointManager(ckpt_dir, None)
     table = jnp.asarray(simplex_embedding(config.data.num_categories, e))
-    _, _, state = init_train_state(config)
+    _, _, state = init_train_state(config, host_init=True)
     if mgr.latest_step() is not None:
         state = mgr.restore(state)
         print(f"loaded checkpoint step {mgr.latest_step()} from {ckpt_dir}")

@@ -8,16 +8,20 @@ jitted train step (loss + grad + clip + Adam + EMA) at effective batch 8
 (micro-batch 4 × 2-step gradient accumulation — this environment's
 remote-compile tunnel rejects the flagship backward at batch 8 directly).
 
-Timeout-robustness contract (VERDICT r3 #1 — the r3 driver run was killed
-before any output):
+Timeout-robustness contract (VERDICT r3 #1, tightened r5 after the r4
+driver run was killed mid-train-compile at +1798 s):
 
+- **Exactly TWO device compiles in the whole bench** (fused sampler +
+  train step).  Parameters are drawn on the host CPU at a reduced spatial
+  shape (``init_model_variables(host=True)`` — the r4 run burned ~450 s
+  compiling ``model.init`` at full shape, twice), and every FLOPs figure
+  comes from a device-free jaxpr trace (``utils/flops.py``) instead of
+  post-compile ``cost_analysis()``.
 - The **headline JSON line is printed and flushed immediately after the
-  sampling measurement** — exactly ONE compile (the fused sampler) happens
-  before it.  Everything else (cost-analysis compiles, the train section,
-  the opt-in b16 row) runs afterwards, each behind its own try/except, and
-  a final **extended** JSON line (a superset of the headline) is printed at
-  the end; the driver parses the last parseable line, so a timeout during
-  extras still leaves the headline.
+  sampling measurement**; the **train section runs next** (it is the second
+  driver metric), then the free FLOPs extras.  The cumulative record is
+  re-emitted after EVERY section — the driver parses the last parseable
+  line, so a kill at any point keeps everything measured so far.
 - Progress notes go to stderr with timestamps, so a killed run leaves a
   diagnosable tail.
 - SIGTERM/SIGINT mid-measurement salvages a partial record: if at least one
@@ -26,13 +30,18 @@ before any output):
   clears the cache and retries the *sampling section* once — not the whole
   script.
 
+MFU accounting (r5 change, calibrated against the r4 XLA figures in
+BASELINE.md): ``mfu``/``train_mfu`` cost the *as-dispatched* program
+(z2-packed convs carry structural zeros), ``model_mfu``/``model_train_mfu``
+cost the direct-conv formulation of the same model — both now count
+matmul+conv FLOPs from the jaxpr (elementwise excluded), so they read a few
+percent below the old XLA-cost figures; model_mfu is the round-over-round
+comparable number.
+
 Extras are opt-in/opt-out via env vars:
 
-- ``BENCH_MODEL_MFU=1``   — also cost the direct-conv program (one extra
-  compile) for packed-layout-corrected model-FLOPs MFU (default OFF).
 - ``BENCH_B16=1``         — one batch-16 scaling run (default OFF).
-- ``BENCH_SKIP_TRAIN=1``  — skip the train-step section (default ON, it is
-  the second driver metric; it runs after the headline so it can only add).
+- ``BENCH_SKIP_TRAIN=1``  — skip the train-step section.
 - ``BENCH_MIN_MEASURE_S`` / ``BENCH_MIN_RUNS`` — sampling time target
   (default 60 s / 3 runs).
 
@@ -54,10 +63,8 @@ import time
 
 import jax
 
-# Persistent compilation cache: the 64³ UNet program is large and the axon
-# remote compile is slow — cache across processes so repeat runs start fast.
-# (Whether the axon PJRT plugin supports executable serialization is probed
-# by tools/probe_cache.py; harmless if unsupported.)
+# Persistent compilation cache: harmless if the backend can't serialize
+# executables (tools/probe_cache.py probes this; see BASELINE.md).
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -88,8 +95,7 @@ TRAIN_ACCUM = 2
 TRAIN_EFFECTIVE_STEPS = 3
 
 # TPU v5e bf16 matmul peak per chip (the flagship computes in bf16).  MFU =
-# achieved model FLOP/s (XLA cost analysis of the compiled sampler, which
-# counts every op in the program) / this peak.
+# achieved matmul+conv FLOP/s (jaxpr count, utils/flops.py) / this peak.
 PEAK_TFLOPS_BF16 = 197.0
 
 _START = time.time()
@@ -144,35 +150,29 @@ signal.signal(signal.SIGTERM, _salvage_handler)
 signal.signal(signal.SIGINT, _salvage_handler)
 
 
-def _program_flops(jitted, *args) -> float:
-    """Total FLOPs for one call, from XLA's own cost analysis (0.0 if the
-    backend doesn't expose it)."""
-    try:
-        analysis = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(analysis, (list, tuple)):
-            analysis = analysis[0]
-        return float(analysis.get("flops", 0.0))
-    except Exception:
-        return 0.0
-
-
 @contextlib.contextmanager
 def _direct_conv_dispatch():
-    """Disable the z2-packed conv dispatch for a cost-analysis trace.
+    """Trace the *reference formulation* of the model for a FLOPs count.
 
-    The packed layout carries structurally-zero FLOPs that XLA's cost
-    analysis counts (k=3: 2x, k=5: 1.2x — BASELINE.md packed-conv record),
-    inflating program-FLOPs MFU over the true silicon efficiency.  Costing
-    the direct-conv formulation of the same model gives model FLOPs.
+    Both FLOPs-inflated-but-faster conv formulations are disabled: the
+    z2-packed 3³ convs (structural zeros — k=3: 2×, k=5: 1.2×) AND the
+    phase-fat init conv (the 7³ 18→48 conv recast as a stride/phase GEMM
+    carries ~6× the reference conv's FLOPs; the r4 XLA "model" figure
+    silently included it — accounting bridge in BASELINE.md).  Dispatch
+    happens at trace time, so this context is effective around a
+    ``jax.make_jaxpr`` call and costs no compile.
     """
-    from flowtrain_stochastic_interpolation_tpu.ops import packed_conv
+    from flowtrain_stochastic_interpolation_tpu.ops import fat_conv, packed_conv
 
-    orig = packed_conv.use_packed_conv
+    orig_packed = packed_conv.use_packed_conv
+    orig_fat = fat_conv.use_fat_conv
     packed_conv.use_packed_conv = lambda *a, **k: False
+    fat_conv.use_fat_conv = lambda *a, **k: False
     try:
         yield
     finally:
-        packed_conv.use_packed_conv = orig
+        packed_conv.use_packed_conv = orig_packed
+        fat_conv.use_fat_conv = orig_fat
 
 
 class _Sampler:
@@ -188,7 +188,10 @@ class _Sampler:
             _STEPPERS,
             solve_ode_final,
         )
-        from flowtrain_stochastic_interpolation_tpu.train.loop import build_model
+        from flowtrain_stochastic_interpolation_tpu.train.loop import (
+            build_model,
+            init_model_variables,
+        )
 
         config = unconditional_64()
         model = build_model(config)
@@ -198,10 +201,10 @@ class _Sampler:
         self.batch = batch
         self.key = jax.random.PRNGKey(100)
         state_dtype = jnp.dtype(STATE_DTYPE_NAME)
-        self.x_init = jnp.zeros((batch, *shape, e), state_dtype)
-        note("initializing model parameters")
-        t_init = jnp.zeros((batch,), jnp.float32)
-        variables = model.init(jax.random.PRNGKey(0), self.x_init, t_init)
+        self.x_spec = jax.ShapeDtypeStruct((batch, *shape, e), state_dtype)
+        note("initializing model parameters (host CPU, reduced shape)")
+        variables = init_model_variables(config, key=jax.random.PRNGKey(0),
+                                         host=True)
         table = jnp.asarray(simplex_embedding(config.data.num_categories, e))
 
         def velocity(x, t):
@@ -270,21 +273,20 @@ class _Sampler:
             self.run = run_steps
 
     def step_flops(self, direct_conv: bool = False) -> float:
-        """FLOPs per full solve via the single-step program × step count.
+        """Matmul+conv FLOPs per full solve, from a device-free jaxpr trace
+        of the single RK4 step × step count (utils/flops.py).  No compile."""
+        from flowtrain_stochastic_interpolation_tpu.utils.flops import (
+            count_conv_dot_flops,
+        )
 
-        XLA cost analysis counts a lax.scan body ONCE regardless of trip
-        count, so analysing the fused program under-reports ~30×; the step
-        program equals the fallback path's.  This costs ONE extra compile —
-        only called from the extras section, after the headline.
-        """
         rk4, h, velocity = self.rk4_step, self.h, self.velocity
         ctx = _direct_conv_dispatch() if direct_conv else contextlib.nullcontext()
         with ctx:
-            step = jax.jit(
-                lambda x, t: rk4(velocity, x, t, jnp.asarray(h, jnp.float32))
+            per_step = count_conv_dot_flops(
+                lambda x, t: rk4(velocity, x, t, jnp.asarray(h, jnp.float32)),
+                self.x_spec,
+                jax.ShapeDtypeStruct((), jnp.float32),
             )
-            per_step = _program_flops(step, self.x_init,
-                                      jnp.asarray(T0, jnp.float32))
         return per_step * (N_FRAMES - 1) * SUBSTEPS
 
 
@@ -325,6 +327,9 @@ def measure_train() -> dict:
     )
     from flowtrain_stochastic_interpolation_tpu.train.loop import init_train_state
     from flowtrain_stochastic_interpolation_tpu.train.steps import make_train_step
+    from flowtrain_stochastic_interpolation_tpu.utils.flops import (
+        count_conv_dot_flops,
+    )
 
     config = unconditional_64()
     config = dataclasses.replace(
@@ -334,29 +339,18 @@ def measure_train() -> dict:
             config.training, accumulate_grad_batches=TRAIN_ACCUM
         ),
     )
-    model, tx, state = init_train_state(config)
+    note("initializing train state (host CPU params)")
+    model, tx, state = init_train_state(config, host_init=True)
     train_step = make_train_step(model, tx, config)
     batch = synthetic_geology_batch(
         jax.random.PRNGKey(0), TRAIN_MICRO_BATCH, config.data.shape
     )
     key = jax.random.PRNGKey(1)
 
-    note("compiling train step")
+    note("compiling train step (the second and last device compile)")
     state, metrics = train_step(state, batch, key)  # compile
     float(metrics["train_loss"])
     note("train step compiled")
-
-    # micro-step program FLOPs (fwd+bwd+update; no lax.scan over the model
-    # inside one micro-step, so XLA's cost analysis counts it fully).  The
-    # jitted fn was just executed, so .lower().compile() hits the in-process
-    # jit cache — no extra device compile for the packed program.
-    train_flops = _program_flops(train_step, state, batch, key)
-    model_train_flops = 0.0
-    if os.environ.get("BENCH_MODEL_MFU") == "1":
-        with _direct_conv_dispatch():
-            model_train_flops = _program_flops(
-                make_train_step(model, tx, config), state, batch, key
-            )
 
     n_micro = TRAIN_EFFECTIVE_STEPS * TRAIN_ACCUM
     t0 = time.perf_counter()
@@ -369,14 +363,22 @@ def measure_train() -> dict:
         "train_steps_per_sec_b8": TRAIN_EFFECTIVE_STEPS / dt,
         "train_micro_step_ms": dt / n_micro * 1000.0,
     }
-    if train_flops > 0:
+    # micro-step FLOPs (fwd+bwd+update) from device-free jaxpr traces:
+    # as-dispatched (packed convs) and direct-conv (model FLOPs)
+    try:
+        train_flops = count_conv_dot_flops(train_step, state, batch, key)
+        with _direct_conv_dispatch():
+            model_train_flops = count_conv_dot_flops(
+                train_step, state, batch, key
+            )
         out["train_mfu"] = (train_flops * n_micro / dt) / (
             PEAK_TFLOPS_BF16 * 1e12
         )
-    if model_train_flops > 0:
         out["model_train_mfu"] = (model_train_flops * n_micro / dt) / (
             PEAK_TFLOPS_BF16 * 1e12
         )
+    except Exception as exc:  # accounting must not sink the timing numbers
+        out["train_mfu_error"] = f"{type(exc).__name__}: {exc}"[:200]
     return out
 
 
@@ -401,40 +403,52 @@ def main() -> None:
                               sampling["measured_s"])
     _emit(record)  # HEADLINE — everything after this can only add
     _partial["headline_printed"] = True
-    note("headline printed; running extras (each optional)")
+    note("headline printed; train section next (driver metric #2)")
 
-    # ---- extras: each section guarded, extended record printed at the end --
+    # ---- train section FIRST among extras: it is the other driver metric
+    # and the only remaining compile.  The cumulative record re-emits after
+    # every section; the driver parses the last parseable line.
+    if os.environ.get("BENCH_SKIP_TRAIN") != "1":
+        try:
+            train = measure_train()
+            record["train_steps_per_sec_b8"] = round(
+                train["train_steps_per_sec_b8"], 4
+            )
+            record["train_micro_step_ms"] = round(train["train_micro_step_ms"], 1)
+            for k in ("train_mfu", "model_train_mfu"):
+                if k in train:
+                    record[k] = round(train[k], 4)
+            if "train_mfu_error" in train:
+                record["train_mfu_error"] = train["train_mfu_error"]
+            note(f"train section done "
+                 f"({record['train_micro_step_ms']} ms/micro-step)")
+        except Exception as exc:  # train measurement must not sink the bench
+            record["train_error"] = f"{type(exc).__name__}: {exc}"[:200]
+            note(f"train section failed: {record['train_error']}")
+        _emit(record)
+
+    # ---- sampling FLOPs accounting (device-free jaxpr traces) ----
     try:
+        med = sampling["samples_per_min"]
         flops_per_run = sampler.step_flops()
         if flops_per_run > 0:
-            med = sampling["samples_per_min"]
             record["mfu"] = round(
                 flops_per_run * (med / 60.0 / BATCH) / (PEAK_TFLOPS_BF16 * 1e12), 4
             )
             record["peak_tflops_bf16"] = PEAK_TFLOPS_BF16
             record["program_tflops_per_run"] = round(flops_per_run / 1e12, 2)
-        note(f"program-FLOPs cost analysis done (mfu={record.get('mfu')})")
+        model_flops = sampler.step_flops(direct_conv=True)
+        if model_flops > 0:
+            record["model_mfu"] = round(
+                model_flops * (med / 60.0 / BATCH) / (PEAK_TFLOPS_BF16 * 1e12), 4
+            )
+            record["model_tflops_per_run"] = round(model_flops / 1e12, 2)
+        note(f"FLOPs accounting done (mfu={record.get('mfu')}, "
+             f"model_mfu={record.get('model_mfu')})")
     except Exception as exc:
         record["mfu_error"] = f"{type(exc).__name__}: {exc}"[:200]
         note(f"mfu section failed: {record['mfu_error']}")
-
-    if os.environ.get("BENCH_MODEL_MFU") == "1":
-        # one extra compile: the direct-conv program (structural-zero-free
-        # model FLOPs — the round-over-round comparable figure)
-        try:
-            model_flops = sampler.step_flops(direct_conv=True)
-            if model_flops > 0:
-                med = sampling["samples_per_min"]
-                record["model_mfu"] = round(
-                    model_flops * (med / 60.0 / BATCH) / (PEAK_TFLOPS_BF16 * 1e12),
-                    4,
-                )
-                record["model_tflops_per_run"] = round(model_flops / 1e12, 2)
-            note(f"model-FLOPs cost analysis done "
-                 f"(model_mfu={record.get('model_mfu')})")
-        except Exception as exc:
-            record["model_mfu_error"] = f"{type(exc).__name__}: {exc}"[:200]
-            note(f"model-mfu section failed: {record['model_mfu_error']}")
+    _emit(record)
 
     if os.environ.get("BENCH_B16") == "1" and BATCH != 16:
         # batch-scaling row (opt-in: costs a compile + a run, and r3 measured
@@ -447,25 +461,8 @@ def main() -> None:
         except Exception as exc:  # e.g. b16 exceeds single-chip HBM
             record["b16_error"] = f"{type(exc).__name__}: {exc}"[:200]
             note(f"b16 section failed: {record['b16_error']}")
+        _emit(record)
 
-    if os.environ.get("BENCH_SKIP_TRAIN") != "1":
-        try:
-            train = measure_train()
-            record["train_steps_per_sec_b8"] = round(
-                train["train_steps_per_sec_b8"], 4
-            )
-            record["train_micro_step_ms"] = round(train["train_micro_step_ms"], 1)
-            if "train_mfu" in train:
-                record["train_mfu"] = round(train["train_mfu"], 4)
-            if "model_train_mfu" in train:
-                record["model_train_mfu"] = round(train["model_train_mfu"], 4)
-            note(f"train section done "
-                 f"({record['train_micro_step_ms']} ms/micro-step)")
-        except Exception as exc:  # train measurement must not sink the bench
-            record["train_error"] = f"{type(exc).__name__}: {exc}"[:200]
-            note(f"train section failed: {record['train_error']}")
-
-    _emit(record)  # EXTENDED — superset of the headline; last parseable line
     note("done")
 
 

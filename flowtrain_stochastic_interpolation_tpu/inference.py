@@ -34,12 +34,15 @@ from flowtrain_stochastic_interpolation_tpu.ops.embedding import (
     embed,
     prominence,
 )
+from flowtrain_stochastic_interpolation_tpu.interpolants import LinearInterpolant
 from flowtrain_stochastic_interpolation_tpu.solvers import (
+    eps_schedule,
     frame_grid,
     make_frame_advancer,
     solve_ode,
     solve_ode_adaptive,
     solve_ode_final,
+    solve_velocity_sde,
 )
 
 
@@ -72,6 +75,8 @@ def make_sampler(
     variables_as_arg: bool = False,
     donate_x0: bool = False,
     frame_dispatch: bool = False,
+    sde_epsilon: float = 0.5,
+    sde_eps_schedule: str = "linear_decay",
 ):
     """Build a jitted ``sampler(x0[, atb]) -> outputs`` closure.
 
@@ -113,6 +118,17 @@ def make_sampler(
     if conditional is None:
         conditional = atb is not None
 
+    sde = method == "sde"
+    if sde:
+        if adaptive or frame_dispatch or variables_as_arg:
+            raise ValueError("method='sde' is incompatible with "
+                             "adaptive/frame_dispatch/variables_as_arg")
+        # the flagship checkpoints are velocity models trained on the linear
+        # one-sided interpolant (train/steps.py); the SDE drift recovers the
+        # score through velocity_to_denoiser (solvers/__init__.py)
+        sde_interp = LinearInterpolant(one_sided=True)
+        sde_eps_fn = eps_schedule(sde_eps_schedule, sde_epsilon)
+
     if frame_dispatch:
         if adaptive or variables_as_arg:
             raise ValueError("frame_dispatch is incompatible with "
@@ -124,11 +140,37 @@ def make_sampler(
             with_prominence=with_prominence,
         )
 
-    def run_with(vars_, x0, atb_batch=None):
+    def run_with(vars_, x0, atb_batch=None, key=None):
         if conditional or atb_batch is not None:
             velocity = lambda x, t: model.apply(vars_, x, atb_batch, t)
         else:
             velocity = lambda x, t: model.apply(vars_, x, t)
+
+        if sde:
+            if key is None:
+                raise ValueError("method='sde' samplers take a PRNG key: "
+                                 "sampler(x0[, atb], key=...)")
+            if keep_trajectory:
+                traj = solve_velocity_sde(
+                    velocity, sde_interp, x0, key, epsilon=sde_eps_fn,
+                    t0=t0, tf=tf, n_frames=n_frames, substeps=substeps,
+                    keep_trajectory=True,
+                )
+                final = traj[-1]
+            else:
+                final = solve_velocity_sde(
+                    velocity, sde_interp, x0, key, epsilon=sde_eps_fn,
+                    t0=t0, tf=tf, n_frames=n_frames, substeps=substeps,
+                    keep_trajectory=False,
+                )
+                traj = None
+            nfe = jnp.int32(0)
+            out = {"decoded": decode(final, table), "nfe": nfe}
+            if with_prominence:
+                out["prominence"] = prominence(decode_logits(final, table))
+            if keep_trajectory:
+                out["trajectory"] = traj
+            return out
 
         if adaptive:
             traj, nfe = solve_ode_adaptive(
@@ -164,7 +206,9 @@ def make_sampler(
             return jitted_v  # (variables, x0, atb_batch)
         return lambda vars_, x0: jitted_v(vars_, x0)
 
-    run = lambda x0, atb_batch=None: run_with(variables, x0, atb_batch)
+    run = lambda x0, atb_batch=None, key=None: run_with(
+        variables, x0, atb_batch, key
+    )
     donate = (0,) if donate_x0 else ()
     if conditional:
         # ATb must be a runtime argument: a closed-over concrete array would
@@ -173,9 +217,9 @@ def make_sampler(
         # exceeding the remote-compile request size limit.
         jitted = jax.jit(run, donate_argnums=donate)
         if atb is None:
-            return jitted  # caller passes (x0, atb_batch)
-        return lambda x0, atb_batch=None: jitted(
-            x0, atb if atb_batch is None else atb_batch
+            return jitted  # caller passes (x0, atb_batch[, key=])
+        return lambda x0, atb_batch=None, key=None: jitted(
+            x0, atb if atb_batch is None else atb_batch, key=key
         )
     return jax.jit(run, donate_argnums=donate)
 
@@ -343,6 +387,7 @@ def sample_unconditional(
     computes in bf16 regardless).
     """
     sampler = make_sampler(model, variables, table, **sampler_kwargs)
+    is_sde = sampler_kwargs.get("method") == "sde"
     key = jax.random.PRNGKey(seed if seed is not None else 0)
 
     decoded, trajs, proms, times = [], [], [], []
@@ -353,7 +398,10 @@ def sample_unconditional(
         k = jax.random.fold_in(key, b)
         x0 = jax.random.normal(k, (bs, *data_shape, embedding_dim), state_dtype)
         t_start = time.perf_counter()
-        out = jax.block_until_ready(sampler(x0))
+        out = jax.block_until_ready(
+            sampler(x0, key=jax.random.fold_in(k, 7919)) if is_sde
+            else sampler(x0)
+        )
         dt = time.perf_counter() - t_start
         times.append(dt)
         if verbose:
@@ -399,6 +447,7 @@ def sample_conditional(
     """
     data_shape = atb.shape[:-1]
     e = atb.shape[-1]
+    is_sde = sampler_kwargs.get("method") == "sde"
     if sampler is None:
         sampler = make_sampler(
             model, variables, table, conditional=True, **sampler_kwargs
@@ -411,7 +460,10 @@ def sample_conditional(
         key = jax.random.PRNGKey(seed + b)
         x0 = jax.random.normal(key, (bs, *data_shape, e), jnp.float32)
         t_start = time.perf_counter()
-        out = jax.block_until_ready(sampler(x0, atb_b))
+        out = jax.block_until_ready(
+            sampler(x0, atb_b, key=jax.random.fold_in(key, 7919)) if is_sde
+            else sampler(x0, atb_b)
+        )
         times.append(time.perf_counter() - t_start)
         if verbose:
             print(f"batch {b + 1}/{n_batches}: solved in {times[-1]:.2f}s")

@@ -454,6 +454,123 @@ def solve_denoising_sde(
     return jnp.concatenate([x0[None], frames], axis=0)
 
 
+def velocity_to_denoiser(
+    velocity_fn: VelocityFn, interpolant: Interpolant
+) -> VelocityFn:
+    """Recover the one-sided denoiser ``eta = E[X0 | x_t]`` from a velocity
+    model — the inverse of :func:`denoiser_to_velocity`.
+
+    Inverting eq (6.7) ``v = alpha_dot·eta + (beta_dot/beta)(x − alpha·eta)``
+    gives ``eta = (beta·v − beta_dot·x) / (beta·alpha_dot − beta_dot·alpha)``.
+    The denominator is the schedule's Wronskian (≡ −1 for the linear
+    one-sided interpolant) — the rearranged form never divides by
+    ``beta(t) → 0``, so it is stable at ``t → 0``.
+
+    This is what lets the *flagship velocity checkpoints* (trained with
+    ``LinearInterpolant(one_sided=True)`` flow matching — ``train/steps.py``)
+    be sampled through the SDE: the reference's ``SDEOneSidedDenoisingSolver``
+    (``solvers.py:152-222``) only accepts denoiser models.
+    """
+    if not interpolant.one_sided:
+        raise ValueError("denoising solvers require a one-sided interpolant")
+
+    def denoiser(x: Array, t: Array) -> Array:
+        v = velocity_fn(x, t)
+        tb = t.reshape(t.shape[0], *([1] * (x.ndim - 1)))
+        a, b = interpolant.alpha(tb), interpolant.beta(tb)
+        a_dot, b_dot = interpolant.alpha_dot(tb), interpolant.beta_dot(tb)
+        return (b * v - b_dot * x) / (b * a_dot - b_dot * a)
+
+    return denoiser
+
+
+def eps_schedule(name: str, epsilon: float):
+    """Named diffusion-strength schedules for the SDE samplers.
+
+    * ``constant`` — ``eps(t) = epsilon`` (the reference's default when a
+      scalar is passed, ``solvers.py:171-175``);
+    * ``linear_decay`` — ``eps(t) = epsilon·(1−t)``.  For the linear
+      one-sided schedule the score is ``−eta/(1−t)``, so this keeps the
+      drift term ``eps(t)·score = −epsilon·eta`` *bounded* as ``t → 1``
+      (a constant eps blows it up near the data endpoint) and switches the
+      diffusion off at the end — the practical choice for the flagship
+      checkpoints (tf = 0.9999).
+    """
+    if name == "constant":
+        return lambda t: jnp.asarray(epsilon, jnp.float32)
+    if name == "linear_decay":
+        return lambda t: jnp.asarray(epsilon, jnp.float32) * (1.0 - t)
+    raise ValueError(f"unknown eps schedule {name!r}")
+
+
+def solve_velocity_sde(
+    velocity_fn: VelocityFn,
+    interpolant: Interpolant,
+    x0: Array,
+    key: Array,
+    *,
+    epsilon=1.0,
+    t0: float = 0.0,
+    tf: float = 1.0,
+    n_frames: int = 32,
+    substeps: int = 2,
+    keep_trajectory: bool = True,
+) -> Array:
+    """Euler–Maruyama SDE sampling of a *velocity* model.
+
+    Drift ``v + eps(t)·score`` with the score recovered through
+    :func:`velocity_to_denoiser` (``score = −eta/alpha``), diffusion
+    ``sqrt(2·eps(t))·dW`` with the correct ``sqrt(dt)`` scaling.  With
+    ``epsilon == 0`` this reduces exactly to the Euler ODE flow on the same
+    time grid (pinned by tests/test_solvers.py).
+
+    ``epsilon`` may be a float or a callable ``t -> eps`` (see
+    :func:`eps_schedule`).  ``keep_trajectory=False`` returns only the final
+    state ``[B, ...]`` — no ``[n_frames, B, ...]`` buffer in the program
+    (the memory form the fused flagship sampler needs, as in
+    :func:`solve_ode_final`).
+    """
+    if not interpolant.one_sided:
+        raise ValueError("denoising solvers require a one-sided interpolant")
+    eps_fn = epsilon if callable(epsilon) else (lambda t: epsilon)
+
+    dtype = x0.dtype
+    time_dtype = jnp.promote_types(dtype, jnp.float32)
+    frame_ts = jnp.linspace(t0, tf, n_frames, dtype=time_dtype)
+    h = (frame_ts[1] - frame_ts[0]) / substeps if n_frames > 1 else jnp.asarray(0.0, time_dtype)
+    sqrt_h = jnp.sqrt(jnp.abs(h))
+
+    def drift(x, t):
+        tv = _batch_time(x, t)
+        v = velocity_fn(x, tv)
+        tb = tv.reshape(tv.shape[0], *([1] * (x.ndim - 1)))
+        a, b = interpolant.alpha(tb), interpolant.beta(tb)
+        a_dot, b_dot = interpolant.alpha_dot(tb), interpolant.beta_dot(tb)
+        eta = (b * v - b_dot * x) / (b * a_dot - b_dot * a)
+        score = -eta / a
+        return v + eps_fn(t) * score
+
+    def frame_step(carry, t_start):
+        x, k = carry
+
+        def sub(i, carry):
+            x, k = carry
+            k, sub_k = jax.random.split(k)
+            t = t_start + i * h
+            noise = jax.random.normal(sub_k, x.shape, dtype)
+            diffusion = jnp.sqrt(2.0 * jnp.maximum(eps_fn(t), 0.0))
+            x = x + (h * drift(x, t)).astype(dtype) + (sqrt_h * diffusion).astype(dtype) * noise
+            return (x, k)
+
+        x, k = jax.lax.fori_loop(0, substeps, sub, (x, k))
+        return (x, k), (x if keep_trajectory else None)
+
+    (final, _), frames = jax.lax.scan(frame_step, (x0, key), frame_ts[:-1])
+    if not keep_trajectory:
+        return final
+    return jnp.concatenate([x0[None], frames], axis=0)
+
+
 def ode_sol_rk4(x0: Array, velocity_fn: VelocityFn, nsteps: int = 100, tf: float = 1.0) -> Array:
     """Fixed-step RK4 returning the full ``[nsteps, ...]`` trajectory.
 
@@ -514,7 +631,10 @@ __all__ = [
     "solve_ode_adaptive",
     "solve_denoising_ode",
     "solve_denoising_sde",
+    "solve_velocity_sde",
     "denoiser_to_velocity",
+    "velocity_to_denoiser",
+    "eps_schedule",
     "ode_sol_rk4",
     "ODEFlowSolver",
     "dopri5_integrate",

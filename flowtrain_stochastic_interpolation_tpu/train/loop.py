@@ -73,20 +73,70 @@ def build_model(config: ExperimentConfig, spatial_axis=None):
     return UNet3D(**common, spatial_axis=spatial_axis)
 
 
-def init_train_state(config: ExperimentConfig, mesh=None) -> tuple:
-    """Build (model, tx, state) with params replicated over the mesh."""
-    model = build_model(config)
-    key = jax.random.PRNGKey(config.training.seed)
-    shape = config.data.shape
-    e = config.data.embedding_dim
-    x = jnp.zeros((1, *shape, e), jnp.float32)
-    t = jnp.zeros((1,), jnp.float32)
-    if config.model.conditional:
-        variables = model.init(key, x, x, t)
-    else:
-        variables = model.init(key, x, t)
+def init_model_variables(config: ExperimentConfig, key=None,
+                         host: bool = False):
+    """Draw the configured UNet's init variables.
 
-    table = jnp.asarray(simplex_embedding(config.data.num_categories, e))
+    ``host=True`` initializes eagerly on the host CPU at the smallest
+    spatial shape the down path supports and ``device_put``s the result to
+    the default device.  The UNet is fully convolutional — every parameter
+    shape is independent of batch and spatial extent (the 128³-from-64³
+    sampling record relies on the same property) — so the tiny-shape trace
+    creates the identical variable tree while skipping the full-resolution
+    ``model.init`` program, which costs a ~450 s remote compile on the axon
+    tunnel (BENCH_r04 tail: two such compiles, sampler + train).  The host
+    trace uses the Pallas-free attention variant (`fused_folded_attn=False`;
+    same parameter tree — flax param RNG is path/name-keyed and both
+    branches declare the same params) because ``jax.default_backend()``
+    still reports "tpu" inside a ``default_device(cpu)`` scope.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(config.training.seed)
+    e = config.data.embedding_dim
+    if not host:
+        model = build_model(config)
+        x = jnp.zeros((1, *config.data.shape, e), jnp.float32)
+        t = jnp.zeros((1,), jnp.float32)
+        if config.model.conditional:
+            return model.init(key, x, x, t)
+        return model.init(key, x, t)
+
+    import dataclasses as _dc
+
+    host_config = _dc.replace(
+        config,
+        model=_dc.replace(config.model, fused_folded_attn=False,
+                          flash_attn=False),
+    )
+    model = build_model(host_config)
+    side = 2 ** (len(config.model.dim_mults) - 1)
+    shape = tuple(min(side, s) for s in config.data.shape)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        x = jnp.zeros((1, *shape, e), jnp.float32)
+        t = jnp.zeros((1,), jnp.float32)
+        if config.model.conditional:
+            variables = model.init(key, x, x, t)
+        else:
+            variables = model.init(key, x, t)
+    return jax.device_put(variables, jax.devices()[0])
+
+
+def init_train_state(config: ExperimentConfig, mesh=None,
+                     host_init: bool = False) -> tuple:
+    """Build (model, tx, state) with params replicated over the mesh.
+
+    ``host_init=True`` draws the parameters on the host CPU at a reduced
+    spatial shape (see :func:`init_model_variables`) — the fast path for
+    benches/tools on the remote-TPU tunnel, where full-shape ``model.init``
+    is a multi-minute compile.
+    """
+    model = build_model(config)
+    variables = init_model_variables(config, host=host_init)
+
+    table = jnp.asarray(
+        simplex_embedding(config.data.num_categories, config.data.embedding_dim)
+    )
     constants = {
         "embedding": table,
         "model": dict(variables.get("constants", {})),

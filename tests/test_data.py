@@ -12,6 +12,9 @@ from flowtrain_stochastic_interpolation_tpu.data.synthetic import (
 )
 from flowtrain_stochastic_interpolation_tpu.data.toy import Gaussian2d, GaussianMixed
 
+pytestmark = pytest.mark.smoke  # <5-min unit/numeric tier (VERDICT r4 #8)
+
+
 
 def test_synthetic_geology_category_convention():
     vol = synthetic_geology(jax.random.PRNGKey(0), (32, 32, 32), 15)

@@ -1,5 +1,6 @@
 """Sample-quality evaluation statistics (tools/eval_samples.py helpers)."""
 
+import pytest
 import jax
 import numpy as np
 
@@ -9,6 +10,9 @@ from flowtrain_stochastic_interpolation_tpu.data.synthetic import (
 
 import importlib.util
 import os
+
+pytestmark = pytest.mark.smoke  # <5-min unit/numeric tier (VERDICT r4 #8)
+
 
 _spec = importlib.util.spec_from_file_location(
     "eval_samples",

@@ -6,6 +6,7 @@ tools/measure_baseline.py).  ``jax.eval_shape`` counts ours without
 materialising anything.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +16,9 @@ from flowtrain_stochastic_interpolation_tpu.config import (
     unconditional_64,
 )
 from flowtrain_stochastic_interpolation_tpu.train.loop import build_model
+
+pytestmark = pytest.mark.smoke  # <5-min unit/numeric tier (VERDICT r4 #8)
+
 
 REFERENCE_UNCOND_PARAMS = 22_981_474
 # torch Unet3DCondV3 at dim=48, mults (1,2,2,3,4), 15ch, time_res 1024,

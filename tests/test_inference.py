@@ -146,3 +146,37 @@ def test_bfloat16_state_sampling_matches_float32():
     ref = np.asarray(sampler(x0)["decoded"])
     bf = np.asarray(sampler(x0.astype(jnp.bfloat16))["decoded"])
     assert (ref == bf).mean() > 0.97, (ref == bf).mean()
+
+
+def test_sde_sampler_end_to_end():
+    """method='sde' sampling surface (VERDICT r4 #6): decodes valid
+    categories, is seeded-deterministic, and differs from the ODE path."""
+    model, variables, table = _uncond()
+    kwargs = dict(
+        n_samples=2, batch_size=2, data_shape=(8, 8, 8), embedding_dim=15,
+        seed=7, n_frames=4, substeps=2, method="sde", verbose=False,
+        sde_epsilon=0.5, sde_eps_schedule="linear_decay",
+        t0=1e-3, tf=1 - 1e-3,
+    )
+    r1 = sample_unconditional(model, variables, table, **kwargs)
+    assert r1.decoded.shape == (2, 8, 8, 8)
+    assert r1.decoded.min() >= 0 and r1.decoded.max() < 15
+    r2 = sample_unconditional(model, variables, table, **kwargs)
+    np.testing.assert_array_equal(r1.decoded, r2.decoded)  # seeded
+    ode = sample_unconditional(
+        model, variables, table,
+        **{**kwargs, "method": "euler", "sde_epsilon": 0.5},
+    )
+    assert (r1.decoded != ode.decoded).mean() > 0.0  # diffusion changed paths
+
+
+def test_sde_sampler_requires_key():
+    model, variables, table = _uncond()
+    sampler = make_sampler(model, variables, table, method="sde",
+                           n_frames=4, substeps=1, t0=1e-3, tf=1 - 1e-3)
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 8, 15))
+    try:
+        sampler(x0)
+        raise AssertionError("expected ValueError without a key")
+    except ValueError:
+        pass

@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 from flowtrain_stochastic_interpolation_tpu.interpolants import (
+
     EncDecInterpolant,
     LinearInterpolant,
     MirrorInterpolant,
@@ -18,6 +19,8 @@ from flowtrain_stochastic_interpolation_tpu.interpolants import (
     StochasticInterpolator,
     TrigInterpolant,
 )
+
+pytestmark = pytest.mark.smoke  # <5-min unit/numeric tier (VERDICT r4 #8)
 
 ALL = [
     LinearInterpolant(),

@@ -9,9 +9,12 @@ import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from flowtrain_stochastic_interpolation_tpu.ops.linear_attention import (
+
     linear_attention,
     linear_attention_reference,
 )
+
+pytestmark = pytest.mark.smoke  # <5-min unit/numeric tier (VERDICT r4 #8)
 
 
 def _run_interpret(fn, *args):

@@ -1,5 +1,6 @@
 """Tests for embedding, mask, and ensemble ops."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,11 +18,14 @@ from flowtrain_stochastic_interpolation_tpu.ops.ensemble import (
     vote_probabilities,
 )
 from flowtrain_stochastic_interpolation_tpu.ops.masks import (
+
     make_boreholes_mask,
     make_boreholes_reduced_mask,
     make_combined_mask,
     make_surface_mask,
 )
+
+pytestmark = pytest.mark.smoke  # <5-min unit/numeric tier (VERDICT r4 #8)
 
 
 # --------------------------- embedding ---------------------------

@@ -12,10 +12,13 @@ import numpy as np
 import pytest
 
 from flowtrain_stochastic_interpolation_tpu.ops.packed_conv import (
+
     pack_weights_z2,
     packed_conv3d,
     use_packed_conv,
 )
+
+pytestmark = pytest.mark.smoke  # <5-min unit/numeric tier (VERDICT r4 #8)
 
 
 def _direct(x, w, b=None):

@@ -7,6 +7,7 @@ import pytest
 
 from flowtrain_stochastic_interpolation_tpu.interpolants import LinearInterpolant
 from flowtrain_stochastic_interpolation_tpu.solvers import (
+
     ODEFlowSolver,
     ode_sol_rk4,
     solve_denoising_ode,
@@ -14,6 +15,8 @@ from flowtrain_stochastic_interpolation_tpu.solvers import (
     solve_ode,
     solve_ode_adaptive,
 )
+
+pytestmark = pytest.mark.smoke  # <5-min unit/numeric tier (VERDICT r4 #8)
 
 
 def linear_field(x, t):
@@ -223,3 +226,80 @@ def test_rk4_lean_matches_tableau():
     tab1 = solve_ode(field, x0, n_frames=2, substeps=1, method="rk4_tableau")
     np.testing.assert_allclose(np.asarray(lean1), np.asarray(tab1),
                                rtol=2e-7, atol=2e-7)
+
+
+def test_velocity_to_denoiser_roundtrip():
+    """velocity_to_denoiser inverts denoiser_to_velocity exactly (the
+    rearranged form divides by the Wronskian, not by beta -> stable)."""
+    from flowtrain_stochastic_interpolation_tpu.solvers import (
+        denoiser_to_velocity,
+        velocity_to_denoiser,
+    )
+
+    interp = LinearInterpolant(one_sided=True)
+
+    def denoiser(x, t):
+        tb = t.reshape(t.shape[0], *([1] * (x.ndim - 1)))
+        return jnp.sin(x) * (1.0 + tb)
+
+    vel = denoiser_to_velocity(denoiser, interp)
+    eta_back = velocity_to_denoiser(vel, interp)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 7))
+    for tval in (1e-3, 0.3, 0.77, 1 - 1e-3):
+        t = jnp.full((4,), tval)
+        np.testing.assert_allclose(
+            np.asarray(eta_back(x, t)), np.asarray(denoiser(x, t)),
+            rtol=2e-5, atol=2e-5,
+        )
+
+
+def test_velocity_sde_eps0_equals_euler_ode():
+    """epsilon=0 reduces solve_velocity_sde to the Euler ODE flow on the
+    same time grid (diffusion off, drift = velocity)."""
+    from flowtrain_stochastic_interpolation_tpu.solvers import solve_velocity_sde
+
+    interp = LinearInterpolant(one_sided=True)
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (3, 5))
+    kw = dict(t0=1e-3, tf=1 - 1e-3, n_frames=8, substeps=4)
+    traj_sde = solve_velocity_sde(
+        linear_field, interp, x0, jax.random.PRNGKey(1), epsilon=0.0, **kw
+    )
+    traj_ode = solve_ode(linear_field, x0, method="euler", **kw)
+    np.testing.assert_allclose(
+        np.asarray(traj_sde), np.asarray(traj_ode), rtol=1e-6, atol=1e-6
+    )
+    final_only = solve_velocity_sde(
+        linear_field, interp, x0, jax.random.PRNGKey(1), epsilon=0.0,
+        keep_trajectory=False, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(final_only), np.asarray(traj_sde[-1]), rtol=1e-6
+    )
+
+
+def test_velocity_sde_converges_to_target_with_noise():
+    """Velocity-model SDE sampling (the flagship-checkpoint form) collapses
+    onto a delta target, like the denoiser-model SDE above it."""
+    from flowtrain_stochastic_interpolation_tpu.solvers import (
+        denoiser_to_velocity,
+        eps_schedule,
+        solve_velocity_sde,
+    )
+
+    mu = 2.0
+    interp = LinearInterpolant(one_sided=True)
+
+    def denoiser(x, t):
+        tb = t.reshape(t.shape[0], *([1] * (x.ndim - 1)))
+        return (x - interp.beta(tb) * mu) / interp.alpha(tb)
+
+    vel = denoiser_to_velocity(denoiser, interp)
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (64, 1))
+    traj = solve_velocity_sde(
+        vel, interp, x0, jax.random.PRNGKey(1),
+        epsilon=eps_schedule("linear_decay", 0.5),
+        t0=1e-3, tf=1 - 1e-3, n_frames=16, substeps=4,
+    )
+    final = np.asarray(traj[-1])
+    assert abs(final.mean() - mu) < 0.2
+    assert final.std() < 0.3

@@ -71,6 +71,7 @@ def main() -> None:
     )
     from flowtrain_stochastic_interpolation_tpu.train.loop import (
         build_model,
+        init_model_variables,
         init_train_state,
     )
     from flowtrain_stochastic_interpolation_tpu.train.steps import make_train_step
@@ -94,7 +95,8 @@ def main() -> None:
         x = jax.random.normal(jax.random.PRNGKey(0),
                               (args.batch, *shape, e), jnp.bfloat16)
         t = jnp.full((args.batch,), 0.5, jnp.float32)
-        variables = model.init(jax.random.PRNGKey(1), x, t)
+        variables = init_model_variables(config, key=jax.random.PRNGKey(1),
+                                         host=True)
         n_params = sum(p.size for p in jax.tree.leaves(variables))
 
         def vel_chain(n):
@@ -120,7 +122,7 @@ def main() -> None:
                 training=dataclasses.replace(config.training,
                                              accumulate_grad_batches=1),
             )
-            model_t, tx, state = init_train_state(cfg_t)
+            model_t, tx, state = init_train_state(cfg_t, host_init=True)
             train_step = make_train_step(model_t, tx, cfg_t)
             batch = synthetic_geology_batch(
                 jax.random.PRNGKey(0), args.train_batch, cfg_t.data.shape

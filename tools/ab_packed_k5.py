@@ -43,7 +43,7 @@ def measure(tag: str, batch: int, steps: int = 6) -> float:
         data=dataclasses.replace(config.data, batch_size=batch),
         training=dataclasses.replace(config.training, accumulate_grad_batches=1),
     )
-    model, tx, state = init_train_state(config)
+    model, tx, state = init_train_state(config, host_init=True)
     train_step = make_train_step(model, tx, config)
     key = jax.random.PRNGKey(0)
     batch_data = synthetic_geology_batch(

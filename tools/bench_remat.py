@@ -69,7 +69,7 @@ def main() -> None:
             remat=args.remat, remat_save_atb=args.save_atb,
         ),
     )
-    model, tx, state = init_train_state(config)
+    model, tx, state = init_train_state(config, host_init=True)
     train_step = make_train_step(model, tx, config)
     b = synthetic_geology_batch(jax.random.PRNGKey(0), args.batch, config.data.shape)
     key = jax.random.PRNGKey(1)

@@ -55,7 +55,9 @@ def measure(conditional: bool, batch: int, steps: int,
             config.training, accumulate_grad_batches=1, remat=False
         ),
     )
-    model, tx, state = init_train_state(config)
+    # host_init: params drawn on CPU at reduced shape (identical tree) —
+    # skips a ~450 s full-shape model.init compile per config on the tunnel
+    model, tx, state = init_train_state(config, host_init=True)
     train_step = make_train_step(model, tx, config)
     b = synthetic_geology_batch(jax.random.PRNGKey(0), batch, config.data.shape)
     key = jax.random.PRNGKey(1)
@@ -95,6 +97,11 @@ def main() -> None:
         ("cond_b2_autodiff", True, 2, "autodiff"),    # backward swapped, else same
         ("uncond_b2_closed", False, 2, "closed_form"),  # conditional factor removed
         ("cond_b4_closed", True, 4, "closed_form"),   # batch factor removed
+        # r4 bf16 stream-dtype backward A/B (VERDICT r4 #1): the recipe
+        # micro-batches, closed_form vs closed_form_bf16, same program shape
+        ("uncond_b4_closed", False, 4, "closed_form"),
+        ("uncond_b4_bf16", False, 4, "closed_form_bf16"),
+        ("cond_b2_bf16", True, 2, "closed_form_bf16"),
     ]
     results = {}
     for name, conditional, batch, backward in configs:

@@ -44,7 +44,7 @@ def main():
     mgr = CheckpointManager(args.ckpt)
     config = mgr.load_config()
     assert config is not None, f"{args.ckpt}/config.json missing"
-    _, _, state = init_train_state(config)
+    _, _, state = init_train_state(config, host_init=True)
     state = mgr.restore(state)
     mgr.close()
     print(f"restored step {int(state.step)} from {args.ckpt}")

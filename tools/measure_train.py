@@ -68,7 +68,7 @@ def main() -> None:
         ),
     )
 
-    model, tx, state = init_train_state(config)
+    model, tx, state = init_train_state(config, host_init=True)
     train_step = make_train_step(model, tx, config)
     batch = synthetic_geology_batch(
         jax.random.PRNGKey(0), config.data.batch_size, config.data.shape

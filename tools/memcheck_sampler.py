@@ -50,7 +50,7 @@ def main():
     mgr = CheckpointManager(args.ckpt, None)
     config = mgr.load_config()
     assert config is not None, "checkpoint dir has no config.json"
-    model, _, state = init_train_state(config)
+    model, _, state = init_train_state(config, host_init=True)
     state = mgr.restore(state)
     variables = {"params": state.params}
     if state.constants.get("model"):

@@ -34,7 +34,17 @@ def main():
     p.add_argument("--no-folded", action="store_true",
                    help="disable the folded Pallas linear-attention kernel")
     p.add_argument("--method", default="rk4",
-                   choices=["euler", "heun", "midpoint", "rk4", "rk4_tableau"])
+                   choices=["euler", "heun", "midpoint", "rk4", "rk4_tableau",
+                            "sde"],
+                   help="'sde' runs Euler–Maruyama with the score recovered "
+                        "from the velocity checkpoint "
+                        "(solvers.solve_velocity_sde; VERDICT r4 #6)")
+    p.add_argument("--sde-epsilon", type=float, default=0.5,
+                   help="diffusion strength for --method sde")
+    p.add_argument("--sde-eps-schedule", default="linear_decay",
+                   choices=["constant", "linear_decay"],
+                   help="eps(t) schedule: linear_decay keeps the score term "
+                        "bounded as t->1 for the linear one-sided schedule")
     p.add_argument("--substeps", type=int, default=2)
     p.add_argument("--state-dtype", default="float32",
                    choices=["float32", "bfloat16"],
@@ -73,7 +83,7 @@ def main():
         if args.no_folded:
             model_cfg = dataclasses.replace(config.model, fused_folded_attn=False)
             config = dataclasses.replace(config, model=model_cfg)
-        model, _, state = init_train_state(config)
+        model, _, state = init_train_state(config, host_init=True)
         params = tree["params"]
         if args.ema and tree.get("ema_params"):
             params = tree["ema_params"]
@@ -88,7 +98,7 @@ def main():
         if args.no_folded:
             model_cfg = dataclasses.replace(config.model, fused_folded_attn=False)
             config = dataclasses.replace(config, model=model_cfg)
-        model, _, state = init_train_state(config)
+        model, _, state = init_train_state(config, host_init=True)
         state = mgr.restore(state)
         print(f"restored step {int(state.step)}")
 
@@ -107,6 +117,8 @@ def main():
         method=args.method, with_prominence=not args.no_prominence,
         verbose=True, donate_x0=args.donate_x0,
         frame_dispatch=args.frame_dispatch,
+        sde_epsilon=args.sde_epsilon,
+        sde_eps_schedule=args.sde_eps_schedule,
         state_dtype=jnp.bfloat16 if args.state_dtype == "bfloat16" else jnp.float32,
     )
     dec = result.decoded - 1

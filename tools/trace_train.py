@@ -54,7 +54,7 @@ def main() -> None:
         data=dataclasses.replace(config.data, batch_size=args.batch),
         training=dataclasses.replace(config.training, accumulate_grad_batches=1),
     )
-    model, tx, state = init_train_state(config)
+    model, tx, state = init_train_state(config, host_init=True)
     train_step = make_train_step(model, tx, config)
     batch = synthetic_geology_batch(
         jax.random.PRNGKey(0), args.batch, config.data.shape

@@ -165,7 +165,7 @@ def main():
         init_cfg = dataclasses.replace(
             config, data=dataclasses.replace(config.data, shape=(64, 64, 64))
         )
-    model, tx, state = init_train_state(init_cfg)
+    model, tx, state = init_train_state(init_cfg, host_init=True)
     if args.init_from:
         # params/EMA transfer across resolutions (fully-convolutional UNet)
         from flowtrain_stochastic_interpolation_tpu.models.persistence import (
@@ -195,7 +195,7 @@ def main():
                 assert src_cfg is not None, (
                     f"{args.init_from} has neither weights.msgpack nor a "
                     "restorable orbax checkpoint with config.json")
-                _, _, src_state = init_train_state(src_cfg)
+                _, _, src_state = init_train_state(src_cfg, host_init=True)
                 restored = src.restore(src_state)
             state = state.replace(params=restored.params,
                                   ema_params=restored.ema_params)
