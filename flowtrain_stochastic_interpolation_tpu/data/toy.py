@@ -78,3 +78,49 @@ def get_cifar10(root: str = "./data", train: bool = True) -> Optional[np.ndarray
     ds = datasets.CIFAR10(root=root, train=train, download=True)
     imgs = np.asarray(ds.data, dtype=np.float32) / 255.0
     return imgs * 2.0 - 1.0
+
+
+def synthetic_images(key: Array, n: int, size: int = 32) -> Array:
+    """Procedural image toy distribution, generated on device.
+
+    Stand-in for the reference's image-toy datasets (``practicedata.py:97-124``)
+    in environments without torchvision/network access (this image has zero
+    egress — BASELINE.md release-weight note).  Each sample composes, in
+    ±1 grayscale on a ``[n, size, size, 1]`` canvas:
+
+    * a linear intensity gradient background with a random orientation,
+    * one filled circle (random center / radius / intensity),
+    * one axis-aligned filled square (random center / half-width / intensity)
+      drawn over the circle.
+
+    The distribution has sharp edges, long-range structure (the gradient),
+    and occlusion ordering — enough signal for a UNet2D flow model to learn
+    visibly coherent samples in a few hundred steps.
+    """
+    k_th, k_cc, k_cr, k_ci, k_sc, k_sh, k_si = jax.random.split(key, 7)
+    f32 = jnp.float32
+    coord = (jnp.arange(size, dtype=f32) + 0.5) / size  # (0, 1)
+    yy = coord[:, None]
+    xx = coord[None, :]
+
+    theta = jax.random.uniform(k_th, (n, 1, 1), f32, 0.0, 2.0 * jnp.pi)
+    bg = 0.5 * (
+        (xx - 0.5)[None] * jnp.cos(theta) + (yy - 0.5)[None] * jnp.sin(theta)
+    ) * 2.0  # in [-0.5, 0.5] along the gradient direction
+
+    ccy, ccx = jnp.moveaxis(
+        jax.random.uniform(k_cc, (n, 2, 1, 1), f32, 0.25, 0.75), 1, 0
+    )
+    cr = jax.random.uniform(k_cr, (n, 1, 1), f32, 0.10, 0.25)
+    ci = jax.random.uniform(k_ci, (n, 1, 1), f32, -1.0, 1.0)
+    circle = (xx[None] - ccx) ** 2 + (yy[None] - ccy) ** 2 <= cr**2
+    img = jnp.where(circle, ci, bg)
+
+    scy, scx = jnp.moveaxis(
+        jax.random.uniform(k_sc, (n, 2, 1, 1), f32, 0.25, 0.75), 1, 0
+    )
+    sh = jax.random.uniform(k_sh, (n, 1, 1), f32, 0.08, 0.20)
+    si = jax.random.uniform(k_si, (n, 1, 1), f32, -1.0, 1.0)
+    square = (jnp.abs(xx[None] - scx) <= sh) & (jnp.abs(yy[None] - scy) <= sh)
+    img = jnp.where(square, si, img)
+    return jnp.clip(img, -1.0, 1.0)[..., None]
