@@ -142,6 +142,7 @@ def populate_solutions(save_dir, model, variables, table, config, args) -> None:
         model, variables, table, conditional=True,
         t0=ic.t0, tf=ic.tf, n_frames=ic.n_frames,
         substeps=ic.substeps, method=ic.method,
+        sde_epsilon=getattr(args, "sde_epsilon", 0.5),
     )
     for folder in sorted(os.listdir(save_dir)):
         path = os.path.join(save_dir, folder)
@@ -155,6 +156,10 @@ def populate_solutions(save_dir, model, variables, table, config, args) -> None:
             model, variables, table, atb,
             n_samples=args.n_samples, batch_size=args.batch_size, seed=42,
             sampler=sampler,
+            # method rides in kwargs so sample_conditional knows to thread a
+            # diffusion key into an SDE sampler (the sampler itself is the
+            # prebuilt one above)
+            method=ic.method,
         )
         for i in range(result.decoded.shape[0]):
             np.save(
@@ -210,11 +215,26 @@ def main():
     p.add_argument("--device", choices=["auto", "cpu"], default="auto",
                    help="'cpu' forces the CPU backend before XLA init "
                         "(CI / hosts without the TPU grant)")
+    p.add_argument("--method", default=None,
+                   choices=["euler", "heun", "midpoint", "rk4", "sde"],
+                   help="override the recipe solver for the ensemble sweep "
+                        "(BASELINE config 5 'SDE/ODE sweep'; 'sde' = "
+                        "Euler–Maruyama with the velocity-recovered score)")
+    p.add_argument("--sde-epsilon", type=float, default=0.5,
+                   help="diffusion strength for --method sde (linear-decay "
+                        "schedule)")
     args = p.parse_args()
 
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
     config = conditional_64() if args.preset == "flagship" else tiny_test(conditional=True)
+    if args.method is not None:
+        import dataclasses
+
+        config = dataclasses.replace(
+            config,
+            inference=dataclasses.replace(config.inference, method=args.method),
+        )
     os.makedirs(args.save_dir, exist_ok=True)
 
     if args.stage in ("create-data", "all"):
