@@ -350,31 +350,43 @@ def measure_train() -> dict:
     note("compiling train step (the second and last device compile)")
     state, metrics = train_step(state, batch, key)  # compile
     float(metrics["train_loss"])
-    note("train step compiled")
+    note("train step compiled; 2 warmup steps (the first one re-specializes "
+         "the executable for the donated state's program-chosen layouts — a "
+         "second ~2-min compile; measured: tools/probe_train_speed.py)")
+    for i in range(2):
+        state, metrics = train_step(state, batch, jax.random.fold_in(key, 90 + i))
+        float(metrics["train_loss"])
+    note("warmups done; timing")
 
     n_micro = TRAIN_EFFECTIVE_STEPS * TRAIN_ACCUM
-    t0 = time.perf_counter()
+    per_step = []
     for i in range(n_micro):
+        ts = time.perf_counter()
         state, metrics = train_step(state, batch, jax.random.fold_in(key, i))
         float(metrics["train_loss"])  # scalar fence per micro-step
-    dt = time.perf_counter() - t0
+        per_step.append(time.perf_counter() - ts)
+    note("train micro-steps (ms): "
+         + ", ".join(f"{s * 1e3:.0f}" for s in per_step))
+    med = statistics.median(per_step)
 
     out = {
-        "train_steps_per_sec_b8": TRAIN_EFFECTIVE_STEPS / dt,
-        "train_micro_step_ms": dt / n_micro * 1000.0,
+        # median micro-step: robust to tunnel hiccups / stray respecializes
+        "train_steps_per_sec_b8": 1.0 / (med * TRAIN_ACCUM),
+        "train_micro_step_ms": med * 1000.0,
     }
-    # micro-step FLOPs (fwd+bwd+update) from device-free jaxpr traces:
-    # as-dispatched (packed convs) and direct-conv (model FLOPs)
+    # micro-step FLOPs (fwd+bwd+update) from device-free jaxpr traces.
+    # NOTE: make_jaxpr of an already-executed jit function can return its
+    # cached (packed) trace — the direct-conv count must come from a FRESH
+    # jit object traced inside the dispatch-override context (the r5
+    # validation run recorded train_mfu == model_train_mfu because of this).
     try:
         train_flops = count_conv_dot_flops(train_step, state, batch, key)
         with _direct_conv_dispatch():
             model_train_flops = count_conv_dot_flops(
-                train_step, state, batch, key
+                make_train_step(model, tx, config), state, batch, key
             )
-        out["train_mfu"] = (train_flops * n_micro / dt) / (
-            PEAK_TFLOPS_BF16 * 1e12
-        )
-        out["model_train_mfu"] = (model_train_flops * n_micro / dt) / (
+        out["train_mfu"] = (train_flops / med) / (PEAK_TFLOPS_BF16 * 1e12)
+        out["model_train_mfu"] = (model_train_flops / med) / (
             PEAK_TFLOPS_BF16 * 1e12
         )
     except Exception as exc:  # accounting must not sink the timing numbers
