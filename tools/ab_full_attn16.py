@@ -132,6 +132,12 @@ def main() -> None:
                   flush=True)
             state, metrics = train_step(state, batch, key)
             float(metrics["train_loss"])
+            # 2 warmups: the first post-compile step respecializes donated
+            # layouts into a second executable (tools/probe_train_speed.py)
+            for i in range(2):
+                state, metrics = train_step(state, batch,
+                                            jax.random.fold_in(key, 900 + i))
+                float(metrics["train_loss"])
             ts = []
             for _ in range(5):
                 t0 = time.perf_counter()

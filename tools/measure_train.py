@@ -75,19 +75,29 @@ def main() -> None:
     )
     key = jax.random.PRNGKey(1)
 
+    # Scalar-read fence throughout: on the axon tunnel block_until_ready
+    # returns before remote execution completes (verified empirically), so
+    # only a value read is a true fence — fencing the compile step with
+    # block_until_ready used to leak the compile tail into the timed loop
+    # (the r5 29.7 s/"step" artifact).
     t_compile = time.perf_counter()
     state, metrics = train_step(state, batch, key)
-    jax.block_until_ready(state)  # full state: param/opt updates included
+    float(metrics["train_loss"])
     compile_s = time.perf_counter() - t_compile
 
-    # sync per step via a scalar device->host transfer: on the axon tunnel
-    # platform block_until_ready returns before remote execution completes,
-    # so only a value read is a true fence (verified empirically)
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, metrics = train_step(state, batch, key)
+    # 2 warmup steps: the first loop step on a donated state respecializes
+    # layouts into a second executable (see tools/probe_train_speed.py)
+    for i in range(2):
+        state, metrics = train_step(state, batch, jax.random.fold_in(key, 1000 + i))
+        float(metrics["train_loss"])
+
+    step_ms = []
+    for i in range(args.steps):
+        t0 = time.perf_counter()
+        state, metrics = train_step(state, batch, jax.random.fold_in(key, i))
         loss_val = float(metrics["train_loss"])
-    dt = (time.perf_counter() - t0) / args.steps
+        step_ms.append((time.perf_counter() - t0) * 1e3)
+    dt = sorted(step_ms)[len(step_ms) // 2] / 1e3  # median
 
     rec = {
         "metric": ("cond" if args.conditional else "uncond")
@@ -95,6 +105,7 @@ def main() -> None:
         "value": round(1.0 / dt, 4),
         "unit": "steps/sec",
         "step_ms": round(dt * 1000, 1),
+        "steps_ms": [round(t, 1) for t in step_ms],
         "compile_s": round(compile_s, 1),
         "loss": round(loss_val, 4),
     }
