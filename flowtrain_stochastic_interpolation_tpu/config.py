@@ -42,8 +42,10 @@ class ModelConfig:
     dtype: str = "bfloat16"  # compute dtype on TPU; params stay f32
     # folded-linear-attention backward:
     # "closed_form" | "closed_form_bf16" | "chunked" | "autodiff" | None
-    # (None = closed form unless FLOWTRAIN_AUTODIFF_ATTN_VJP was set at
-    # import — a trace-time constant, see ops/linear_attention.py)
+    # (None = closed_form_bf16 — the r5 default after the paired flagship
+    # A/B (BASELINE.md); identical math when streams are f32, ~0.7% faster
+    # when bf16 — unless FLOWTRAIN_AUTODIFF_ATTN_VJP was set at import, a
+    # trace-time constant, see ops/linear_attention.py)
     attn_folded_vjp: str | None = None
     # per-block rematerialisation inside the UNet (jax.checkpoint around each
     # ResnetBlock/attention): bounds backward activation liveness to one

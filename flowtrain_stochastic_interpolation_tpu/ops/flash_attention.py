@@ -74,7 +74,7 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
     def _finalize():
         l = l_scr[:, 0]
         o_ref[0] = (acc_scr[:] / l[:, None]).astype(o_ref.dtype)
-        lse_ref[0] = (m_scr[:, 0] + jnp.log(l)).astype(lse_ref.dtype)
+        lse_ref[0, 0] = (m_scr[:, 0] + jnp.log(l)).astype(lse_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -104,11 +104,17 @@ def _flash_fwd_bhnd(q: Array, k: Array, v: Array,
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_q), lambda b, qi, ki: (b, qi)),
+            # lse rides as [bh, 1, n]: a (1, block_q) block on a 2-D [bh, n]
+            # array is an illegal TPU tiling (sublane block 1 is neither
+            # divisible by 8 nor equal to bh — rejected by Mosaic the first
+            # time the kernel compiled for a real chip, fa16 A/B r5); with
+            # the unit middle axis the block's last-two dims (1, block_q)
+            # match (1, n) legally.
+            pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, n), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, n), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -116,7 +122,7 @@ def _flash_fwd_bhnd(q: Array, k: Array, v: Array,
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
     )(q, k, v)
-    return out, lse
+    return out, lse[:, 0, :]
 
 
 def _bwd_blockwise(q, k, v, out, lse, dout, block_q: int):
@@ -137,27 +143,41 @@ def _bwd_blockwise(q, k, v, out, lse, dout, block_q: int):
     dob = dout.reshape(bh, nb, block_q, d)
     lseb = lse.reshape(bh, nb, block_q)
 
+    f32 = jnp.float32
+
     def one_block(carry, blk):
         dk_acc, dv_acc = carry
         q_i, o_i, do_i, lse_i = blk
-        s = jnp.einsum("bqd,bkd->bqk", q_i, k) * scale
-        p = jnp.exp(s - lse_i[..., None])  # [bh, bq, M]
-        dv_acc = dv_acc + jnp.einsum("bqk,bqd->bkd", p, do_i)
-        dp = jnp.einsum("bqd,bkd->bqk", do_i, v)
-        delta = jnp.sum(do_i * o_i, axis=-1, keepdims=True)
+        # bf16 operands, f32 accumulation (MXU-native): the recomputed
+        # scores must be f32 to match the forward kernel's precision —
+        # exp() of bf16 scores would degrade p beyond bf16 rounding
+        s = jnp.einsum("bqd,bkd->bqk", q_i, k,
+                       preferred_element_type=f32) * scale
+        p = jnp.exp(s - lse_i[..., None].astype(f32))  # [bh, bq, M] f32
+        dv_acc = dv_acc + jnp.einsum("bqk,bqd->bkd", p, do_i,
+                                     preferred_element_type=f32)
+        dp = jnp.einsum("bqd,bkd->bqk", do_i, v, preferred_element_type=f32)
+        delta = jnp.sum(do_i.astype(f32) * o_i.astype(f32), axis=-1,
+                        keepdims=True)
         ds = p * (dp - delta) * scale
-        dq_i = jnp.einsum("bqk,bkd->bqd", ds, k)
-        dk_acc = dk_acc + jnp.einsum("bqk,bqd->bkd", ds, q_i)
+        dq_i = jnp.einsum("bqk,bkd->bqd", ds, k, preferred_element_type=f32)
+        dk_acc = dk_acc + jnp.einsum("bqk,bqd->bkd", ds, q_i,
+                                     preferred_element_type=f32)
         return (dk_acc, dv_acc), dq_i
 
-    init = (jnp.zeros_like(k), jnp.zeros_like(v))
+    # f32 carry: with bf16 streams the block math promotes to f32 through
+    # the f32 lse, so the accumulators must be f32 (scan requires carry
+    # dtype stability — bf16 init was a latent type error, caught the first
+    # time the backward traced with bf16 inputs, r5 TPU probe); f32 is also
+    # the right accumulation dtype across n/block_q partial sums.
+    init = (jnp.zeros(k.shape, jnp.float32), jnp.zeros(v.shape, jnp.float32))
     (dk, dv), dq_blocks = jax.lax.scan(
         one_block, init,
         (qb.transpose(1, 0, 2, 3), ob.transpose(1, 0, 2, 3),
          dob.transpose(1, 0, 2, 3), lseb.transpose(1, 0, 2)),
     )
     dq = dq_blocks.transpose(1, 0, 2, 3).reshape(bh, n_pad, d)[:, :n]
-    return dq, dk, dv
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

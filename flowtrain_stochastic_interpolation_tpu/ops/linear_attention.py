@@ -708,11 +708,13 @@ def linear_attention_folded(q: Array, k: Array, v: Array,
     multiple of 128 (lane width) — the flagship config's 4×32 = 128 exactly.
     Semantics match ``unet_attn_3d.py:284-341``.
 
-    ``backward``: "closed_form" (default; measured 2.7× faster than
-    autodiff), "closed_form_bf16" (the stream-dtype closed form — halves
-    the backward's [N, h·d] HBM traffic, VERDICT r3 #3a) — both one-shot
-    forms auto-chunk at ≥2^20 rows, "chunked" (force the row-blocked
-    closed form —
+    ``backward``: "closed_form_bf16" (default since r5; the stream-dtype
+    closed form — halves the backward's [N, h·d] HBM traffic when the
+    streams are bf16, identical math on f32 inputs; measured ~0.7% faster
+    on the uncond flagship micro-step, neutral on cond), "closed_form"
+    (the f32-stream closed form; measured 2.7× faster than autodiff) —
+    both one-shot forms auto-chunk at ≥2^20 rows, "chunked" (force the
+    row-blocked closed form —
     chunk-bounded memory, the 128³-training form), or
     "autodiff"; None defers to the ``FLOWTRAIN_AUTODIFF_ATTN_VJP`` env var
     *as read at import time* (trace-time static — flipping the env after
@@ -726,6 +728,12 @@ def linear_attention_folded(q: Array, k: Array, v: Array,
                         "autodiff"):
         raise ValueError(f"unknown backward {backward!r}")
     if backward is None:
-        backward = "autodiff" if _AUTODIFF_VJP_ENV_DEFAULT else "closed_form"
+        # Default flipped to the stream-dtype closed form in r5: the paired
+        # flagship A/B (uncond b4×2 micro-step, 20-step medians, 3 pairs)
+        # measured 509/509/513 ms (f32 closed form) vs 504/506/506 ms
+        # (bf16), a consistent ~0.7% win, never a loss (cond b2 neutral:
+        # 473.6 vs 475.4 ms); with f32 inputs both forms compute identical
+        # math, so only bf16-stream training is affected.  BASELINE.md r5.
+        backward = "autodiff" if _AUTODIFF_VJP_ENV_DEFAULT else "closed_form_bf16"
     block_n = min(block_n, _round_up(n, 128))
     return _linear_attn_folded(q, k, v, mem_k, mem_v, heads, block_n, backward)

@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--conditional", action="store_true")
+    ap.add_argument("--attn-vjp", default=None,
+                    help="folded-attention backward mode (closed_form | "
+                         "closed_form_bf16 | chunked | autodiff)")
     ap.add_argument("--out", default="/tmp/trace_train")
     args = ap.parse_args()
 
@@ -52,6 +55,7 @@ def main() -> None:
     config = dataclasses.replace(
         config,
         data=dataclasses.replace(config.data, batch_size=args.batch),
+        model=dataclasses.replace(config.model, attn_folded_vjp=args.attn_vjp),
         training=dataclasses.replace(config.training, accumulate_grad_batches=1),
     )
     model, tx, state = init_train_state(config, host_init=True)
